@@ -1,0 +1,289 @@
+# -*- coding: utf-8 -*-
+"""TPU-native FFT alignment core.
+
+The reference aligns one candidate at a time on the CPU: ±1-map both signals,
+zero-pad to a power of two, ``ifft(fft(sub)·fft(flip(ref)))``, mask extreme
+offsets with -inf, argmax (ffsubsync/aligners.py:24-86), looping serially over
+the candidate framerate-ratio pipes (aligners.py:136-151). Here the whole
+candidate search is **one jitted device launch**:
+
+1. every candidate's 100 Hz signal is rasterized *on device* from its cue
+   interval geometry (scatter ±1 counts → cumsum → threshold), so only tiny
+   index arrays cross host→device;
+2. the ±1 mapping applies over each signal's true length, zeros beyond — the
+   same layout the reference's zero-padded FFT sees;
+3. a single batched rFFT cross-correlation scores all candidates;
+4. allowed offsets are gathered in *descending* order and argmax'd, which
+   reproduces the reference's convolve indexing exactly: allowed offsets are
+   ``(-max, max]`` (note the asymmetry: -max itself is masked,
+   aligners.py:41-42) and ties break toward the largest offset
+   (``np.argmax`` takes the first maximum of the reverse-ordered convolve);
+5. the winning offset's score is re-computed with an exact dot product, so
+   cross-candidate selection is immune to float32 FFT rounding.
+
+Offset convention (derived from aligners.py:45-48, 70-74): a positive offset
+means the subtitles fire *early* and must be shifted later;
+``offset_seconds = offset_samples / sample_rate``.
+"""
+import logging
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ffsubsync_tpu.subs.raster import RasterSpec
+
+logger = logging.getLogger(__name__)
+
+
+class FailedToFindAlignmentException(Exception):
+    pass
+
+
+def next_pow2(n: int) -> int:
+    return 1 << max(0, math.ceil(math.log2(max(1, n))))
+
+
+@dataclass
+class Alignment:
+    """Result of scoring one candidate: best (score, offset_samples)."""
+
+    score: float
+    offset: int
+
+
+def _pm_kernel_raster(starts, ends, weight, n_valid_samples, n):
+    """On-device: interval geometry → ±1-mapped signal of static length *n*.
+
+    Padding cues are (0, 0) intervals whose +1/-1 scatter contributions cancel.
+    Values: ``2·w - 1`` on covered samples, ``-1`` on uncovered samples inside
+    the signal's true length, ``0`` beyond (the FFT zero-pad region).
+    """
+    diff = jnp.zeros((n + 1,), jnp.int32)
+    diff = diff.at[starts].add(1)
+    diff = diff.at[ends].add(-1)
+    count = jnp.cumsum(diff)[:n]
+    raw = jnp.where(count > 0, weight, 0.0).astype(jnp.float32)
+    t = jnp.arange(n, dtype=jnp.int32)
+    return jnp.where(t < n_valid_samples, 2.0 * raw - 1.0, 0.0)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _ref_pm_from_spec(starts, ends, weight, n_samples, n):
+    return _pm_kernel_raster(starts, ends, weight, n_samples, n)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _ref_pm_from_signal(values, length, n):
+    """±1-map a materialized signal (audio VAD / deserialized reference)."""
+    t = jnp.arange(n, dtype=jnp.int32)
+    return jnp.where(t < length, 2.0 * values.astype(jnp.float32) - 1.0, 0.0)
+
+
+@partial(jax.jit, static_argnames=("n", "n_offsets"))
+def _align_specs_kernel(
+    ref_pm, starts, ends, weights, n_samples, start_offs, cnts, n, n_offsets
+):
+    """Batched rasterize + FFT cross-correlate + masked argmax + exact rescore.
+
+    Args:
+      ref_pm: f32[n] ±1-mapped reference (zeros beyond its true length).
+      starts, ends: i32[K, C] candidate cue intervals (padded with (0, 0)).
+      weights: f32[K] per-candidate written value ``min(1/ratio, 1)``.
+      n_samples: i32[K] per-candidate true signal length.
+      start_offs: i32[K] largest allowed offset per candidate.
+      cnts: i32[K] number of allowed offsets (descending from start_offs).
+    Returns:
+      (scores f32[K], offsets i32[K]).
+    """
+    subs_pm = jax.vmap(_pm_kernel_raster, in_axes=(0, 0, 0, 0, None))(
+        starts, ends, weights, n_samples, n
+    )
+    ref_f = jnp.fft.rfft(ref_pm)
+    sub_f = jnp.fft.rfft(subs_pm, axis=-1)
+    # c2[k, m] = sum_s subs_pm[k, s] * ref_pm[(s + m) mod n]
+    c2 = jnp.fft.irfft(jnp.conj(sub_f) * ref_f[None, :], n=n, axis=-1)
+    j = jnp.arange(n_offsets, dtype=jnp.int32)[None, :]
+    offs = start_offs[:, None] - j
+    gathered = jnp.take_along_axis(c2, jnp.mod(offs, n), axis=-1)
+    gathered = jnp.where(j < cnts[:, None], gathered, -jnp.inf)
+    best_j = jnp.argmax(gathered, axis=-1)
+    best_off = jnp.take_along_axis(offs, best_j[:, None], axis=-1)[:, 0]
+
+    def rescore(sub_pm, off):
+        return jnp.dot(sub_pm, jnp.roll(ref_pm, -off))
+
+    best_score = jax.vmap(rescore)(subs_pm, best_off)
+    return best_score, best_off
+
+
+def _offset_window(
+    n: int, n_sub: int, max_offset_samples: Optional[int]
+) -> Tuple[int, int]:
+    """(largest allowed offset, count) for one candidate.
+
+    The representable offsets of an n-point circular correlation with an
+    n_sub-long candidate are ``[-n_sub, n - 1 - n_sub]``; masking intersects
+    that with ``(-max, max]``.
+    """
+    if max_offset_samples is None:
+        hi = n - 1 - n_sub
+        lo = -n_sub
+    else:
+        hi = min(max_offset_samples, n - 1 - n_sub)
+        lo = max(-max_offset_samples + 1, -n_sub)
+    return hi, hi - lo + 1
+
+
+RefLike = Union[RasterSpec, np.ndarray]
+
+
+def _ref_length(ref: RefLike) -> int:
+    if isinstance(ref, RasterSpec):
+        return ref.n_samples
+    return int(len(ref))
+
+
+def prepare_ref_pm(ref: RefLike, n: int) -> jnp.ndarray:
+    """Build the device-resident ±1 reference signal of FFT length *n*."""
+    if isinstance(ref, RasterSpec):
+        c = max(1, len(ref.starts))
+        starts = np.zeros(c, np.int32)
+        ends = np.zeros(c, np.int32)
+        starts[: len(ref.starts)] = ref.starts
+        ends[: len(ref.ends)] = ref.ends
+        return _ref_pm_from_spec(
+            jnp.asarray(starts),
+            jnp.asarray(ends),
+            jnp.float32(ref.weight),
+            jnp.int32(ref.n_samples),
+            n,
+        )
+    values = np.zeros(n, np.float32)
+    values[: len(ref)] = ref
+    return _ref_pm_from_signal(jnp.asarray(values), jnp.int32(len(ref)), n)
+
+
+def align_candidates(
+    ref: RefLike,
+    candidates: Sequence[RasterSpec],
+    max_offset_samples: Optional[int] = None,
+) -> List[Alignment]:
+    """Score every candidate against the reference in one device launch.
+
+    Raises :class:`FailedToFindAlignmentException` when either side is empty,
+    matching the reference's guard (aligners.py:58-66).
+    """
+    n_ref = _ref_length(ref)
+    if n_ref == 0 or any(c.n_samples == 0 for c in candidates):
+        bad = min((c.n_samples for c in candidates), default=0)
+        raise FailedToFindAlignmentException(
+            "cannot align empty speech data "
+            "(reference length=%d, subtitle length=%d); "
+            "the reference or subtitles may contain no detectable speech"
+            % (n_ref, bad)
+        )
+    if not candidates:
+        return []
+    n = next_pow2(n_ref + max(c.n_samples for c in candidates))
+    k = len(candidates)
+    c_pad = next_pow2(max(1, max(len(c.starts) for c in candidates)))
+    starts = np.zeros((k, c_pad), np.int32)
+    ends = np.zeros((k, c_pad), np.int32)
+    weights = np.zeros(k, np.float32)
+    n_samples = np.zeros(k, np.int32)
+    start_offs = np.zeros(k, np.int32)
+    cnts = np.zeros(k, np.int32)
+    for i, cand in enumerate(candidates):
+        starts[i, : len(cand.starts)] = cand.starts
+        ends[i, : len(cand.ends)] = cand.ends
+        weights[i] = cand.weight
+        n_samples[i] = cand.n_samples
+        start_offs[i], cnts[i] = _offset_window(n, cand.n_samples, max_offset_samples)
+    n_offsets = (
+        n if max_offset_samples is None else min(2 * int(max_offset_samples), n)
+    )
+    n_offsets = max(1, n_offsets)
+    ref_pm = prepare_ref_pm(ref, n)
+    scores, offsets = _align_specs_kernel(
+        ref_pm,
+        jnp.asarray(starts),
+        jnp.asarray(ends),
+        jnp.asarray(weights),
+        jnp.asarray(n_samples),
+        jnp.asarray(start_offs),
+        jnp.asarray(cnts),
+        n,
+        n_offsets,
+    )
+    scores = np.asarray(scores)
+    offsets = np.asarray(offsets)
+    return [Alignment(float(s), int(o)) for s, o in zip(scores, offsets)]
+
+
+def align_signal_pair(
+    refstring: Union[str, np.ndarray, Sequence[float]],
+    substring: Union[str, np.ndarray, Sequence[float]],
+    max_offset_samples: Optional[int] = None,
+) -> Alignment:
+    """Align two raw 0/1 signals (string or array form) — library parity shim.
+
+    Accepts "10110"-style bitstrings like the reference's ``FFTAligner.fit``
+    (aligners.py:51-54).
+    """
+    def _to_array(s):
+        if isinstance(s, str):
+            return np.array([int(ch) for ch in s], dtype=np.float64)
+        return np.asarray(s, dtype=np.float64)
+
+    ref = _to_array(refstring)
+    sub = _to_array(substring)
+    if len(ref) == 0 or len(sub) == 0:
+        raise FailedToFindAlignmentException(
+            "cannot align empty speech data "
+            "(reference length=%d, subtitle length=%d); "
+            "the reference or subtitles may contain no detectable speech"
+            % (len(ref), len(sub))
+        )
+    n = next_pow2(len(ref) + len(sub))
+    ref_pm = prepare_ref_pm(ref.astype(np.float32), n)
+    sub_values = np.zeros(n, np.float32)
+    sub_values[: len(sub)] = sub
+    sub_pm = _ref_pm_from_signal(jnp.asarray(sub_values), jnp.int32(len(sub)), n)
+    hi, cnt = _offset_window(n, len(sub), max_offset_samples)
+    n_offsets = n if max_offset_samples is None else min(2 * int(max_offset_samples), n)
+    n_offsets = max(1, n_offsets)
+    scores, offsets = _align_signals_kernel(
+        ref_pm,
+        sub_pm[None, :],
+        jnp.asarray([hi], jnp.int32),
+        jnp.asarray([cnt], jnp.int32),
+        n,
+        n_offsets,
+    )
+    return Alignment(float(np.asarray(scores)[0]), int(np.asarray(offsets)[0]))
+
+
+@partial(jax.jit, static_argnames=("n", "n_offsets"))
+def _align_signals_kernel(ref_pm, subs_pm, start_offs, cnts, n, n_offsets):
+    """Like :func:`_align_specs_kernel` but for pre-materialized ±1 signals."""
+    ref_f = jnp.fft.rfft(ref_pm)
+    sub_f = jnp.fft.rfft(subs_pm, axis=-1)
+    c2 = jnp.fft.irfft(jnp.conj(sub_f) * ref_f[None, :], n=n, axis=-1)
+    j = jnp.arange(n_offsets, dtype=jnp.int32)[None, :]
+    offs = start_offs[:, None] - j
+    gathered = jnp.take_along_axis(c2, jnp.mod(offs, n), axis=-1)
+    gathered = jnp.where(j < cnts[:, None], gathered, -jnp.inf)
+    best_j = jnp.argmax(gathered, axis=-1)
+    best_off = jnp.take_along_axis(offs, best_j[:, None], axis=-1)[:, 0]
+
+    def rescore(sub_pm, off):
+        return jnp.dot(sub_pm, jnp.roll(ref_pm, -off))
+
+    best_score = jax.vmap(rescore)(subs_pm, best_off)
+    return best_score, best_off
