@@ -34,7 +34,9 @@ class SubtitleParseError(ValueError):
     """Raised in strict mode when a subtitle block cannot be parsed."""
 
 
-_TIMESTAMP = r"(\d+):(\d{1,2}):(\d{1,2})[,.:](\d+)"
+# signed hours: shifted subtitles can carry negative times (e.g.
+# ``-1:59:20,000`` = -40 s), and they must survive a compose → parse round trip
+_TIMESTAMP = r"(-?\d+):(\d{1,2}):(\d{1,2})[,.:](\d+)"
 # " --> " with tolerance for missing spaces and en-dash arrows
 _TIMING_LINE = re.compile(
     r"\s*" + _TIMESTAMP + r"\s*[-–]+>\s*" + _TIMESTAMP + r"(?:\s+(?P<pos>.*))?\s*$"

@@ -1,0 +1,771 @@
+# -*- coding: utf-8 -*-
+"""Sync orchestration: validation, reference dispatch, candidate search, output.
+
+Host-side control flow mirrors the reference driver (ffsubsync/ffsubsync.py):
+argument validation and input auto-detection (:449-600), reference-pipeline
+dispatch (:303-400), the per-srtin sync loop with quality gate (:177-300), the
+library entry ``run()`` (:686-725) and its result dict, logging/test-case
+plumbing (:62-101, :603-615).
+
+The compute differs: instead of fitting candidate-ratio pipelines serially and
+FFT-aligning each on the CPU, all candidate cue geometries are shipped to the
+TPU and scored in **one** batched launch (see ops/align.py); the golden-section
+refinement drives small device launches per probe. Exception-shaped fallback
+logic stays on the host, outside jitted code.
+"""
+import argparse
+import logging
+import os
+import shutil
+import subprocess
+import sys
+from datetime import datetime
+from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from ffsubsync_tpu.cli import make_parser
+from ffsubsync_tpu.constants import (
+    DEFAULT_ENCODING,
+    DEFAULT_VAD,
+    FRAMERATE_RATIOS,
+    SAMPLE_RATE,
+    SUBTITLE_EXTENSIONS,
+    is_remote_url,
+)
+from ffsubsync_tpu.media.ffmpeg import ffmpeg_bin_path
+from ffsubsync_tpu.ops import gss as gss_mod
+from ffsubsync_tpu.ops.align import (
+    Alignment,
+    FailedToFindAlignmentException,
+    align_candidates,
+)
+from ffsubsync_tpu.speech import (
+    DeserializeSpeechSource,
+    SubtitleSpeechSource,
+    make_subtitle_speech_source,
+)
+from ffsubsync_tpu.subs.parser import make_subtitle_parser
+from ffsubsync_tpu.subs.transforms import merge_documents, shift_document
+from ffsubsync_tpu.utils.progress import ProgressInfo
+
+logger: logging.Logger = logging.getLogger(__name__)
+
+MIN_FRAMERATE_RATIO = 0.9
+MAX_FRAMERATE_RATIO = 1.1
+
+
+def override(args: argparse.Namespace, **kwargs: Any) -> Dict[str, Any]:
+    args_dict = dict(args.__dict__)
+    args_dict.update(kwargs)
+    return args_dict
+
+
+def _ref_format(ref_fname: Optional[str]) -> Optional[str]:
+    if ref_fname is None:
+        return None
+    return ref_fname[-3:]
+
+
+def make_test_case(
+    args: argparse.Namespace, npy_savename: Optional[str], sync_was_successful: bool
+) -> int:
+    """Bundle log + inputs + outputs + speech npz into an archive for bug reports."""
+    if npy_savename is None:
+        raise ValueError("need non-null npy_savename")
+    tar_dir = "{}.{}".format(
+        args.reference, datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
+    )
+    logger.info("creating test archive %s.tar.gz...", tar_dir)
+    os.mkdir(tar_dir)
+    try:
+        log_path = "ffsubsync.log"
+        if args.log_dir_path is not None and os.path.isdir(args.log_dir_path):
+            log_path = os.path.join(args.log_dir_path, log_path)
+        shutil.copy(log_path, tar_dir)
+        shutil.copy(args.srtin[0], tar_dir)
+        if sync_was_successful:
+            shutil.move(args.srtout, tar_dir)
+        if _ref_format(args.reference) in SUBTITLE_EXTENSIONS:
+            shutil.copy(args.reference, tar_dir)
+        elif args.serialize_speech or args.reference == npy_savename:
+            shutil.copy(npy_savename, tar_dir)
+        else:
+            shutil.move(npy_savename, tar_dir)
+        supported_formats = set(list(zip(*shutil.get_archive_formats()))[0])
+        preferred_formats = ["gztar", "bztar", "xztar", "zip", "tar"]
+        for archive_format in preferred_formats:
+            if archive_format in supported_formats:
+                shutil.make_archive(tar_dir, archive_format, os.curdir, tar_dir)
+                break
+        else:
+            logger.error(
+                "failed to create test archive; no formats supported "
+                "(this should not happen)"
+            )
+            return 1
+        logger.info("...done")
+    finally:
+        shutil.rmtree(tar_dir)
+    return 0
+
+
+def _resolve_srtout(args: argparse.Namespace, srtin: Optional[str]) -> Optional[str]:
+    """Output path precedence: overwrite-input > auto `.synced.srt` > explicit."""
+    if args.overwrite_input:
+        return srtin
+    if getattr(args, "auto_srtout", False) and srtin is not None:
+        return "{}.synced.srt".format(os.path.splitext(srtin)[0])
+    return args.srtout
+
+
+def get_srt_source_maker(
+    args: argparse.Namespace, srtin: Optional[str]
+) -> Callable[[Optional[float]], Any]:
+    """Candidate-source factory sharing one caching parser per input file."""
+    if srtin is None:
+        srtin_format = "srt"
+    else:
+        srtin_format = os.path.splitext(srtin)[-1][1:]
+    parser = make_subtitle_parser(fmt=srtin_format, caching=True, **args.__dict__)
+    return lambda scale_factor: make_subtitle_speech_source(
+        scale_factor,
+        fmt=srtin_format,
+        encoding=args.encoding,
+        max_subtitle_seconds=args.max_subtitle_seconds,
+        start_seconds=args.start_seconds,
+        parser=parser,
+    )
+
+
+def get_framerate_ratios_to_try(args: argparse.Namespace) -> List[Optional[float]]:
+    """The discrete ratio grid ± inverses; ``None`` marks the gss slot."""
+    if args.no_fix_framerate:
+        return []
+    framerate_ratios = list(
+        np.concatenate([np.array(FRAMERATE_RATIOS), 1.0 / np.array(FRAMERATE_RATIOS)])
+    )
+    if args.gss:
+        framerate_ratios.append(None)
+    return framerate_ratios
+
+
+def assess_alignment_quality(
+    best_score: float,
+    offset_seconds: float,
+    scale_factor: float,
+    *,
+    min_score: float,
+    max_offset_seconds: float,
+    max_framerate_deviation: float,
+) -> List[str]:
+    """Reasons an alignment looks too low-quality to trust (empty = trust it)."""
+    reasons: List[str] = []
+    if best_score < min_score:
+        reasons.append("score %.1f < %.1f" % (best_score, min_score))
+    if abs(offset_seconds) > max_offset_seconds:
+        reasons.append(
+            "|offset| %.1fs > %.1fs" % (abs(offset_seconds), max_offset_seconds)
+        )
+    framerate_deviation = abs(scale_factor - 1.0)
+    if framerate_deviation > max_framerate_deviation:
+        reasons.append(
+            "framerate deviation %.3f > %.3f"
+            % (framerate_deviation, max_framerate_deviation)
+        )
+    return reasons
+
+
+def _run_gss_search(
+    ref_sig: Any,
+    source_maker: Callable[[Optional[float]], Any],
+    srtin: Optional[str],
+    max_offset_samples: Optional[int],
+) -> List[Tuple[Alignment, SubtitleSpeechSource]]:
+    """Golden-section refinement of the framerate ratio.
+
+    Each probe rasterizes + aligns one candidate on device (a cached small
+    launch); scores recorded only on last-iteration probes enter the final
+    selection, matching MaxScoreAligner.fit_gss (aligners.py:111-129).
+    """
+    recorded: List[Tuple[Alignment, SubtitleSpeechSource]] = []
+
+    def opt_func(framerate_ratio: float, is_last_iter: bool) -> float:
+        source = source_maker(framerate_ratio)
+        source.fit(srtin)
+        [alignment] = align_candidates(
+            ref_sig, [source.spec_], max_offset_samples=max_offset_samples
+        )
+        logger.info(
+            "got score %.0f (offset %d) for ratio %.3f",
+            alignment.score,
+            alignment.offset,
+            framerate_ratio,
+        )
+        if is_last_iter:
+            recorded.append((alignment, source))
+        return -alignment.score
+
+    gss_mod.gss(opt_func, MIN_FRAMERATE_RATIO, MAX_FRAMERATE_RATIO)
+    return recorded
+
+
+def try_sync(
+    args: argparse.Namespace, ref_extractor: Optional[Any], result: Dict[str, Any]
+) -> bool:
+    result["sync_was_successful"] = False
+    sync_was_successful = True
+    logger.info(
+        "extracting speech segments from %s...",
+        "stdin" if not args.srtin else "subtitles file(s) {}".format(args.srtin),
+    )
+    if not args.srtin:
+        args.srtin = [None]
+    for srtin in args.srtin:
+        try:
+            skip_sync = args.skip_sync or ref_extractor is None
+            skip_infer_framerate_ratio = (
+                args.skip_infer_framerate_ratio or ref_extractor is None
+            )
+            srtout = _resolve_srtout(args, srtin)
+            source_maker = get_srt_source_maker(args, srtin)
+            framerate_ratios = get_framerate_ratios_to_try(args)
+            has_gss = any(r is None for r in framerate_ratios)
+            grid_ratios = [1.0] + [r for r in framerate_ratios if r is not None]
+            sources = [source_maker(r) for r in grid_ratios]
+            for source in sources:
+                source.fit(srtin)
+            inferred_source: Optional[SubtitleSpeechSource] = None
+            if (
+                not skip_infer_framerate_ratio
+                and getattr(ref_extractor, "num_frames", None) is not None
+            ):
+                # None subtitle num_frames raises TypeError -> per-srtin failure,
+                # as in the reference (ffsubsync.py:210-212)
+                inferred_framerate_ratio_from_length = (
+                    float(ref_extractor.num_frames) / sources[0].num_frames
+                )
+                logger.info(
+                    "inferred frameratio ratio: %.3f"
+                    % inferred_framerate_ratio_from_length
+                )
+                inferred_source = source_maker(
+                    inferred_framerate_ratio_from_length
+                ).fit(srtin)
+                logger.info("...done")
+            logger.info("computing alignments...")
+            if skip_sync:
+                best_score = 0.0
+                best_source = sources[0]
+                offset_samples = 0
+            else:
+                ref_sig = ref_extractor.signal_or_spec()
+                max_offset_samples = abs(int(args.max_offset_seconds * SAMPLE_RATE))
+                # one batched device launch scores the whole discrete grid
+                # (and the inferred candidate); gss probes follow as small
+                # cached launches
+                batch = list(sources)
+                if inferred_source is not None:
+                    batch.append(inferred_source)
+                alignments = align_candidates(
+                    ref_sig,
+                    [s.spec_ for s in batch],
+                    max_offset_samples=max_offset_samples,
+                )
+                # selection order parity: grid, then gss records, then inferred
+                scored: List[Tuple[Alignment, SubtitleSpeechSource]] = list(
+                    zip(alignments[: len(sources)], sources)
+                )
+                if has_gss:
+                    scored.extend(
+                        _run_gss_search(
+                            ref_sig, source_maker, srtin, max_offset_samples
+                        )
+                    )
+                if inferred_source is not None:
+                    scored.append((alignments[-1], inferred_source))
+                eligible = [
+                    (a, s)
+                    for a, s in scored
+                    if abs(a.offset) <= max_offset_samples
+                ]
+                if len(eligible) == 0:
+                    raise FailedToFindAlignmentException(
+                        "Synchronization failed; consider passing "
+                        "--max-offset-seconds with a number larger than "
+                        "{}".format(args.max_offset_seconds)
+                    )
+                best_alignment, best_source = max(
+                    eligible, key=lambda x: x[0].score
+                )
+                best_score = best_alignment.score
+                offset_samples = best_alignment.offset
+            if best_score < 0:
+                sync_was_successful = False
+            logger.info("...done")
+            offset_seconds = (
+                offset_samples / float(SAMPLE_RATE) + args.apply_offset_seconds
+            )
+            scale_factor = best_source.scale_factor
+            logger.info("score: %.3f", best_score)
+            logger.info("offset seconds: %.3f", offset_seconds)
+            logger.info("framerate scale factor: %.3f", scale_factor)
+            low_quality_reasons: List[str] = []
+            if getattr(args, "skip_sync_on_low_quality", False):
+                low_quality_reasons = assess_alignment_quality(
+                    best_score,
+                    offset_seconds,
+                    scale_factor,
+                    min_score=args.min_score,
+                    max_offset_seconds=args.quality_max_offset_seconds,
+                    max_framerate_deviation=args.max_framerate_deviation,
+                )
+            if low_quality_reasons:
+                logger.warning(
+                    "low-quality alignment (%s); leaving subtitles unmodified",
+                    "; ".join(low_quality_reasons),
+                )
+                sync_was_successful = False
+                # write the original (unscaled, unshifted) subtitles unchanged
+                original_subs = best_source.parsed_doc_
+                out_subs = original_subs.clone_props_for_subs(list(original_subs))
+                if args.output_encoding != "same":
+                    out_subs = out_subs.set_encoding(args.output_encoding)
+                logger.info(
+                    "writing original (unsynced) output to %s", srtout or "stdout"
+                )
+                out_subs.write_file(srtout)
+                continue
+            out_subs = shift_document(best_source.scaled_doc_, offset_seconds)
+            if args.merge_with_reference:
+                out_subs = merge_documents(
+                    out_subs, ref_extractor.parsed_doc_, first="reference"
+                )
+            if args.output_encoding != "same":
+                out_subs = out_subs.set_encoding(args.output_encoding)
+            suppress_output_thresh = args.suppress_output_if_offset_less_than
+            if offset_seconds >= (suppress_output_thresh or float("-inf")):
+                logger.info("writing output to %s", srtout or "stdout")
+                out_subs.write_file(srtout)
+            else:
+                logger.warning(
+                    "suppressing output because offset %s was less than "
+                    "suppression threshold %s",
+                    offset_seconds,
+                    args.suppress_output_if_offset_less_than,
+                )
+        except Exception:
+            sync_was_successful = False
+            logger.exception("failed to sync %s", srtin)
+        else:
+            result["offset_seconds"] = offset_seconds
+            result["framerate_scale_factor"] = scale_factor
+    result["sync_was_successful"] = sync_was_successful
+    return sync_was_successful
+
+
+def make_reference_extractor(
+    args: argparse.Namespace,
+    progress_handler: Optional[Callable[[ProgressInfo], None]] = None,
+) -> Any:
+    """Dispatch the reference to the right speech source.
+
+    Order of dispatch (parity: ffsubsync.py:303-400): PGS stream > subtitle
+    extension > serialized npy/npz > multi-segment video > video/audio.
+    """
+    pgs_stream = getattr(args, "pgs_ref_stream", None)
+    if pgs_stream is not None:
+        from ffsubsync_tpu.media.pgs import PGSSpeechSource
+
+        resolved_stream: Optional[str] = None if pgs_stream == "auto" else pgs_stream
+        if resolved_stream is not None and not resolved_stream.startswith("0:"):
+            resolved_stream = "0:" + resolved_stream
+        return PGSSpeechSource(
+            sample_rate=SAMPLE_RATE,
+            start_seconds=args.start_seconds,
+            ffmpeg_path=args.ffmpeg_path,
+            ref_stream=resolved_stream,
+            gui_mode=args.gui_mode,
+        )
+    ref_format = _ref_format(args.reference)
+    if ref_format in SUBTITLE_EXTENSIONS:
+        if args.vad is not None:
+            logger.warning("Vad specified, but reference was not a movie")
+        return SubtitleSpeechSource(
+            fmt=ref_format,
+            encoding=args.reference_encoding or DEFAULT_ENCODING,
+            caching=False,
+            max_subtitle_seconds=args.max_subtitle_seconds,
+            start_seconds=args.start_seconds,
+            strict=getattr(args, "strict", False),
+        )
+    if ref_format in ("npy", "npz"):
+        if args.vad is not None:
+            logger.warning("Vad specified, but reference was not a movie")
+        return DeserializeSpeechSource(args.non_speech_label)
+    vad = args.vad or DEFAULT_VAD
+    if args.reference_encoding is not None:
+        logger.warning(
+            "Reference srt encoding specified, but reference was a video file"
+        )
+    ref_stream = args.reference_stream
+    if ref_stream is not None and not ref_stream.startswith("0:"):
+        ref_stream = "0:" + ref_stream
+    if getattr(args, "multi_segment_sync", False):
+        from ffsubsync_tpu.media.segments import MultiSegmentVideoSpeechSource
+
+        return MultiSegmentVideoSpeechSource(
+            vad=vad,
+            sample_rate=SAMPLE_RATE,
+            frame_rate=args.frame_rate,
+            non_speech_label=args.non_speech_label,
+            segment_count=getattr(args, "segment_count", 8),
+            skip_intro_outro=getattr(args, "skip_intro_outro", False),
+            parallel_workers=getattr(args, "parallel_workers", 4),
+            ffmpeg_path=args.ffmpeg_path,
+            ref_stream=ref_stream,
+            vlc_mode=args.vlc_mode,
+            gui_mode=args.gui_mode,
+        )
+    from ffsubsync_tpu.media.audio import VideoSpeechSource
+
+    return VideoSpeechSource(
+        vad=vad,
+        sample_rate=SAMPLE_RATE,
+        frame_rate=args.frame_rate,
+        non_speech_label=args.non_speech_label,
+        start_seconds=args.start_seconds,
+        ffmpeg_path=args.ffmpeg_path,
+        ref_stream=ref_stream,
+        vlc_mode=args.vlc_mode,
+        gui_mode=args.gui_mode,
+        max_duration_seconds=getattr(args, "max_duration_seconds", None),
+        extract_audio_first=getattr(args, "extract_audio_first", False),
+        progress_handler=progress_handler,
+    )
+
+
+def extract_subtitles_from_reference(args: argparse.Namespace) -> int:
+    """`--extract-subs-from-stream`: no sync, just dump a subtitle track."""
+    stream = args.extract_subs_from_stream
+    if not stream.startswith("0:s:"):
+        stream = "0:s:{}".format(stream)
+    elif not stream.startswith("0:") and stream.startswith("s:"):
+        stream = "0:{}".format(stream)
+    if not stream.startswith("0:s:"):
+        logger.error(
+            "invalid stream for subtitle extraction: %s", args.extract_subs_from_stream
+        )
+    ffmpeg_args = [
+        ffmpeg_bin_path("ffmpeg", args.gui_mode, ffmpeg_resources_path=args.ffmpeg_path)
+    ]
+    ffmpeg_args.extend(
+        [
+            "-y",
+            "-nostdin",
+            "-loglevel",
+            "fatal",
+            "-i",
+            args.reference,
+            "-map",
+            "{}".format(stream),
+            "-f",
+            "srt",
+        ]
+    )
+    if args.srtout is None:
+        ffmpeg_args.append("-")
+    else:
+        ffmpeg_args.append(args.srtout)
+    logger.info(
+        "attempting to extract subtitles to %s ...",
+        "stdout" if args.srtout is None else args.srtout,
+    )
+    retcode = subprocess.call(ffmpeg_args)
+    if retcode == 0:
+        logger.info("...done")
+    else:
+        logger.error(
+            "ffmpeg unable to extract subtitles from reference; return code %d",
+            retcode,
+        )
+    return retcode
+
+
+def _detect_srtin_from_reference(reference: str) -> List[str]:
+    """Find sibling subtitle files sharing the reference's name.
+
+    Matches `<stem>.srt` and `<stem>.<suffix>.srt` in the reference's own
+    directory, skipping `*.synced.srt` outputs and the reference itself.
+    """
+    reference_dir = os.path.dirname(reference) or "."
+    reference_stem = os.path.splitext(os.path.basename(reference))[0]
+    reference_abspath = os.path.abspath(reference)
+    matches = []
+    for name in sorted(os.listdir(reference_dir)):
+        stem, ext = os.path.splitext(name)
+        if ext.lower() != ".srt":
+            continue
+        if name.endswith(".synced.srt"):
+            continue  # keep re-runs idempotent
+        if stem != reference_stem and not stem.startswith(reference_stem + "."):
+            continue
+        path = os.path.join(reference_dir, name)
+        if os.path.abspath(path) == reference_abspath:
+            continue
+        matches.append(path)
+    return matches
+
+
+def validate_args(args: argparse.Namespace) -> None:
+    if args.vlc_mode:
+        logger.setLevel(logging.CRITICAL)
+    if args.reference is None:
+        if args.apply_offset_seconds == 0 or not args.srtin:
+            raise ValueError(
+                "`reference` required unless `--apply-offset-seconds` specified"
+            )
+    if args.apply_offset_seconds != 0:
+        if not args.srtin:
+            args.srtin = [args.reference]
+        if not args.srtin:
+            raise ValueError(
+                "at least one of `srtin` or `reference` must be specified "
+                "to apply offset seconds"
+            )
+    if args.srtin:
+        if len(args.srtin) > 1 and not args.overwrite_input:
+            raise ValueError(
+                "cannot specify multiple input srt files without overwriting"
+            )
+        if len(args.srtin) > 1 and args.make_test_case:
+            raise ValueError("cannot specify multiple input srt files for test cases")
+        if len(args.srtin) > 1 and args.gui_mode:
+            raise ValueError("cannot specify multiple input srt files in GUI mode")
+    elif (
+        args.reference is not None
+        and not is_remote_url(args.reference)  # can't list a remote dir
+        and args.extract_subs_from_stream is None
+        and not args.gui_mode
+        and not args.make_test_case
+        and sys.stdin.isatty()  # don't hijack subtitles piped in on stdin
+    ):
+        logger.info("no input srt specified; detecting input srt from reference")
+        detected = _detect_srtin_from_reference(args.reference)
+        if detected:
+            for path in detected:
+                logger.info("detected input srt: %s", path)
+            args.srtin = detected
+            if len(detected) > 1 and args.srtout is not None:
+                raise ValueError(
+                    "detected multiple input srt files but an output file was "
+                    "specified; re-run with --overwrite-input or a single input"
+                )
+            if args.srtout is None and not args.overwrite_input:
+                args.auto_srtout = True
+                logger.info(
+                    "writing synced output alongside each input as "
+                    "<name>.synced.srt; pass --overwrite-input to overwrite the "
+                    "input file(s) in place instead"
+                )
+        else:
+            logger.info("no input srt detected from reference")
+    if args.make_test_case and not args.gui_mode:
+        if not args.srtin or args.srtout is None:
+            raise ValueError(
+                "need to specify input and output srt files for test cases"
+            )
+    if args.overwrite_input:
+        if args.extract_subs_from_stream is not None:
+            raise ValueError(
+                "input overwriting not allowed for extracting subtitles "
+                "from reference"
+            )
+        if not args.srtin:
+            raise ValueError(
+                "need to specify input srt if --overwrite-input "
+                "is specified since we cannot overwrite stdin"
+            )
+        if args.srtout is not None:
+            raise ValueError(
+                "overwrite input set but output file specified; "
+                "refusing to run in case this was not intended"
+            )
+    if args.extract_subs_from_stream is not None:
+        if args.make_test_case:
+            raise ValueError("test case is for sync and not subtitle extraction")
+        if args.srtin:
+            raise ValueError(
+                "stream specified for reference subtitle extraction; "
+                "-i flag for sync input not allowed"
+            )
+
+
+def validate_file_permissions(args: argparse.Namespace) -> None:
+    error_string_template = (
+        "unable to {action} {file}; "
+        "try ensuring file exists and has correct permissions"
+    )
+    if (
+        args.reference is not None
+        and not is_remote_url(args.reference)  # ffmpeg streams URLs directly
+        and not os.access(args.reference, os.R_OK)
+    ):
+        raise ValueError(
+            error_string_template.format(action="read reference", file=args.reference)
+        )
+    if args.srtin:
+        for srtin in args.srtin:
+            if srtin is not None and not os.access(srtin, os.R_OK):
+                raise ValueError(
+                    error_string_template.format(
+                        action="read input subtitles", file=srtin
+                    )
+                )
+    if (
+        args.srtout is not None
+        and os.path.exists(args.srtout)
+        and not os.access(args.srtout, os.W_OK)
+    ):
+        raise ValueError(
+            error_string_template.format(
+                action="write output subtitles", file=args.srtout
+            )
+        )
+    if args.make_test_case or args.serialize_speech:
+        npy_savename = os.path.splitext(args.reference)[0] + ".npz"
+        if os.path.exists(npy_savename) and not os.access(npy_savename, os.W_OK):
+            raise ValueError(
+                "unable to write test case file archive %s "
+                "(try checking permissions)" % npy_savename
+            )
+
+
+def _setup_logging(
+    args: argparse.Namespace,
+) -> Tuple[Optional[str], Optional[logging.FileHandler]]:
+    log_handler = None
+    log_path = None
+    if args.make_test_case or args.log_dir_path is not None:
+        log_path = "ffsubsync.log"
+        if args.log_dir_path is not None and os.path.isdir(args.log_dir_path):
+            log_path = os.path.join(args.log_dir_path, log_path)
+        log_handler = logging.FileHandler(log_path)
+        logger.addHandler(log_handler)
+        logger.info("this log will be written to %s", os.path.abspath(log_path))
+    return log_path, log_handler
+
+
+def _npy_savename(args: argparse.Namespace) -> str:
+    return os.path.splitext(args.reference)[0] + ".npz"
+
+
+def _run_impl(
+    args: argparse.Namespace,
+    result: Dict[str, Any],
+    progress_handler: Optional[Callable[[ProgressInfo], None]] = None,
+) -> bool:
+    if args.extract_subs_from_stream is not None:
+        result["retval"] = extract_subtitles_from_reference(args)
+        return True
+    if args.srtin is not None and (
+        args.reference is None
+        or (len(args.srtin) == 1 and args.srtin[0] == args.reference)
+    ):
+        return try_sync(args, None, result)
+    ref_extractor = make_reference_extractor(args, progress_handler=progress_handler)
+    logger.info("extracting speech segments from reference '%s'...", args.reference)
+    ref_extractor.fit(args.reference)
+    logger.info("...done")
+    if args.make_test_case or args.serialize_speech:
+        logger.info("serializing speech...")
+        np.savez_compressed(_npy_savename(args), speech=ref_extractor.transform())
+        logger.info("...done")
+        if not args.srtin:
+            logger.info(
+                "unsynchronized subtitle file not specified; "
+                "skipping synchronization"
+            )
+            return False
+    return try_sync(args, ref_extractor, result)
+
+
+def validate_and_transform_args(
+    parser_or_args: Union[argparse.ArgumentParser, argparse.Namespace],
+) -> Optional[argparse.Namespace]:
+    if isinstance(parser_or_args, argparse.Namespace):
+        parser = None
+        args = parser_or_args
+    else:
+        parser = parser_or_args
+        args = parser.parse_args()
+    try:
+        validate_args(args)
+    except ValueError as e:
+        logger.error(e)
+        if parser is not None:
+            parser.print_usage()
+        return None
+    if args.gui_mode and args.srtout is None:
+        args.srtout = "{}.synced.srt".format(os.path.splitext(args.srtin[0])[0])
+    try:
+        validate_file_permissions(args)
+    except ValueError as e:
+        logger.error(e)
+        return None
+    ref_format = _ref_format(args.reference)
+    if args.merge_with_reference and ref_format not in SUBTITLE_EXTENSIONS:
+        logger.error(
+            "merging synced output with reference only valid "
+            "when reference composed of subtitles"
+        )
+        return None
+    return args
+
+
+def run(
+    parser_or_args: Union[argparse.ArgumentParser, argparse.Namespace],
+    progress_handler: Optional[Callable[[ProgressInfo], None]] = None,
+) -> Dict[str, Any]:
+    """Synchronize subtitles; returns the result dict
+    {retval, offset_seconds, framerate_scale_factor, sync_was_successful}.
+
+    ``progress_handler``, if given, is called repeatedly during reference
+    speech extraction with a :class:`ProgressInfo`; exceptions it raises are
+    logged and swallowed so a buggy handler cannot abort syncing (video-path
+    only, as in the reference).
+    """
+    sync_was_successful = False
+    result: Dict[str, Any] = {
+        "retval": 0,
+        "offset_seconds": None,
+        "framerate_scale_factor": None,
+    }
+    args = validate_and_transform_args(parser_or_args)
+    if args is None:
+        result["retval"] = 1
+        return result
+    log_path, log_handler = _setup_logging(args)
+    try:
+        sync_was_successful = _run_impl(args, result, progress_handler=progress_handler)
+        result["sync_was_successful"] = sync_was_successful
+        return result
+    finally:
+        if log_handler is not None and log_path is not None:
+            log_handler.close()
+            logger.removeHandler(log_handler)
+            if args.make_test_case:
+                result["retval"] += make_test_case(
+                    args, _npy_savename(args), sync_was_successful
+                )
+            if args.log_dir_path is None or not os.path.isdir(args.log_dir_path):
+                os.remove(log_path)
+
+
+def main() -> int:
+    parser = make_parser()
+    return run(parser)["retval"]
+
+
+if __name__ == "__main__":
+    sys.exit(main())
