@@ -1,0 +1,276 @@
+# -*- coding: utf-8 -*-
+"""Video/audio reference → 100 Hz speech signal (the streaming decode path).
+
+Host/device split: ffmpeg (an external binary) decodes the container to raw
+s16le mono PCM on a pipe, exactly as in the reference
+(ffsubsync/speech_transformers.py:525-757); the host stages ~100 s chunks
+(10000 windows per buffer) and each chunk is processed by a *device* VAD
+kernel (ops/vad.py) instead of a per-10 ms host loop. Decode runs concurrently
+with device compute via the subprocess pipe.
+
+Additional native path: WAV/PCM references are decoded in-process
+(media/wav.py), skipping the subprocess entirely — s16le blocks go straight
+from the memory map into the device staging buffer.
+
+Feature parity: embedded-subtitle fast path with fallback to audio
+(speech_transformers.py:609-619), --start-seconds / --max-duration-seconds
+ffmpeg arg construction (:525-562), remote-URL audio pre-extraction to a
+temporary .mka with ``-acodec copy`` (:564-607), progress reporting in all
+four modes, and the "sum of speech segments" log line (:754).
+"""
+import logging
+import os
+import subprocess
+import tempfile
+from datetime import timedelta
+from typing import Any, Callable, List, Optional
+
+import numpy as np
+
+from ffsubsync_tpu.constants import is_remote_url
+from ffsubsync_tpu.media.ffmpeg import ffmpeg_bin_path, probe_duration, subprocess_args
+from ffsubsync_tpu.media.wav import WavReader, is_wav_file
+from ffsubsync_tpu.ops.vad import make_detector
+from ffsubsync_tpu.utils.progress import ProgressInfo, ProgressReporter
+
+logger = logging.getLogger(__name__)
+
+WINDOWS_PER_BUFFER = 10000  # ~100 s of audio per staged chunk
+
+
+class VideoSpeechSource:
+    """Speech extraction from a video/audio reference."""
+
+    def __init__(
+        self,
+        vad: str,
+        sample_rate: int,
+        frame_rate: int,
+        non_speech_label: float,
+        start_seconds: int = 0,
+        ffmpeg_path: Optional[str] = None,
+        ref_stream: Optional[str] = None,
+        vlc_mode: bool = False,
+        gui_mode: bool = False,
+        max_duration_seconds: Optional[float] = None,
+        extract_audio_first: bool = False,
+        progress_handler: Optional[Callable[[ProgressInfo], None]] = None,
+    ) -> None:
+        self.vad = vad
+        self.sample_rate = sample_rate
+        self.frame_rate = frame_rate
+        self._non_speech_label = non_speech_label
+        self.start_seconds = start_seconds
+        self.ffmpeg_path = ffmpeg_path
+        self.ref_stream = ref_stream
+        self.vlc_mode = vlc_mode
+        self.gui_mode = gui_mode
+        self.max_duration_seconds = max_duration_seconds
+        self.extract_audio_first = extract_audio_first
+        self.progress_handler = progress_handler
+        self.video_speech_results_: Optional[Any] = None  # np.ndarray | RasterSpec
+
+    # -- embedded-subtitle fast path ------------------------------------
+
+    def try_fit_using_embedded_subs(self, fname: str) -> None:
+        from ffsubsync_tpu.media.embedded import fit_embedded_subs
+
+        self.video_speech_results_ = fit_embedded_subs(
+            fname,
+            start_seconds=self.start_seconds,
+            ref_stream=self.ref_stream,
+            gui_mode=self.gui_mode,
+            ffmpeg_path=self.ffmpeg_path,
+        )
+
+    # -- ffmpeg decode ----------------------------------------------------
+
+    def _build_ffmpeg_args(self, fname: str) -> List[str]:
+        ffmpeg_args = [
+            ffmpeg_bin_path("ffmpeg", self.gui_mode, ffmpeg_resources_path=self.ffmpeg_path)
+        ]
+        if self.start_seconds > 0:
+            ffmpeg_args.extend(["-ss", str(timedelta(seconds=self.start_seconds))])
+        if self.max_duration_seconds is not None:
+            # input-side -t: stop reading (and, for remote URLs, downloading)
+            # after this many seconds past the seek point
+            ffmpeg_args.extend(["-t", str(timedelta(seconds=self.max_duration_seconds))])
+        ffmpeg_args.extend(["-loglevel", "fatal", "-nostdin", "-i", fname])
+        if self.ref_stream is not None and self.ref_stream.startswith("0:a:"):
+            ffmpeg_args.extend(["-map", self.ref_stream])
+        ffmpeg_args.extend(
+            [
+                "-f",
+                "s16le",
+                "-ac",
+                "1",
+                "-acodec",
+                "pcm_s16le",
+                "-af",
+                "aresample=async=1",
+                "-ar",
+                str(self.frame_rate),
+                "-",
+            ]
+        )
+        return ffmpeg_args
+
+    def _extract_audio_to_temp(self, url: str) -> Optional[str]:
+        """Copy the reference's audio to a local temp .mka (no re-encode).
+
+        Returns the temp path, or None on failure (caller streams the URL
+        directly instead).
+        """
+        fd, temp_path = tempfile.mkstemp(suffix=".mka")
+        os.close(fd)
+        ffmpeg_args = [
+            ffmpeg_bin_path("ffmpeg", self.gui_mode, ffmpeg_resources_path=self.ffmpeg_path),
+            "-loglevel",
+            "fatal",
+            "-nostdin",
+            "-y",
+            "-i",
+            url,
+            "-vn",
+            "-acodec",
+            "copy",
+        ]
+        if self.max_duration_seconds is not None:
+            # extract from t=0 up to start+max so the main pass can still seek
+            # --start-seconds accurately within the local file
+            limit = self.start_seconds + self.max_duration_seconds
+            ffmpeg_args.extend(["-t", str(timedelta(seconds=limit))])
+        ffmpeg_args.append(temp_path)
+        logger.info("extracting audio from remote reference to %s...", temp_path)
+        retcode = subprocess.call(ffmpeg_args, **subprocess_args(include_stdout=False))
+        if retcode != 0 or not os.path.getsize(temp_path):
+            logger.warning(
+                "audio extraction failed (ffmpeg returned %d); "
+                "falling back to streaming the reference directly",
+                retcode,
+            )
+            try:
+                os.remove(temp_path)
+            except OSError:
+                pass
+            return None
+        return temp_path
+
+    # -- main entry ------------------------------------------------------
+
+    def fit(self, fname: str, *_: Any) -> "VideoSpeechSource":
+        if "subs" in self.vad and (
+            self.ref_stream is None or self.ref_stream.startswith("0:s:")
+        ):
+            try:
+                logger.info("Checking video for subtitles stream...")
+                self.try_fit_using_embedded_subs(fname)
+                logger.info("...success!")
+                return self
+            except Exception as e:
+                logger.info(e)
+        temp_audio = None
+        if self.extract_audio_first and is_remote_url(fname):
+            temp_audio = self._extract_audio_to_temp(fname)
+            if temp_audio is not None:
+                fname = temp_audio
+        try:
+            self._fit_using_audio(fname)
+        finally:
+            if temp_audio is not None and os.path.exists(temp_audio):
+                try:
+                    os.remove(temp_audio)
+                except OSError:
+                    logger.warning("failed to remove temp audio file %s", temp_audio)
+        return self
+
+    def _iter_pcm_chunks(self, fname: str, bytes_per_buffer: int):
+        """Yield raw PCM chunks: ffmpeg pipe normally, in-process for WAV."""
+        use_native_wav = (
+            not is_remote_url(fname)
+            and os.path.exists(fname)
+            and is_wav_file(fname)
+            and os.environ.get("FFS_TPU_DISABLE_NATIVE_WAV") != "1"
+        )
+        if use_native_wav:
+            logger.info("decoding WAV natively (no ffmpeg subprocess)")
+            reader = WavReader(fname)
+            for chunk in reader.iter_chunks(
+                target_rate=self.frame_rate,
+                chunk_seconds=float(WINDOWS_PER_BUFFER) / self.sample_rate,
+                start_seconds=self.start_seconds,
+                max_duration_seconds=self.max_duration_seconds,
+            ):
+                yield chunk.tobytes()
+            return
+        process = subprocess.Popen(
+            self._build_ffmpeg_args(fname), **subprocess_args(include_stdout=True)
+        )
+        try:
+            while True:
+                in_bytes = process.stdout.read(bytes_per_buffer)
+                if not in_bytes:
+                    break
+                yield in_bytes
+        finally:
+            process.wait()
+
+    def _probe_total_duration(self, fname: str) -> Optional[float]:
+        try:
+            if not is_remote_url(fname) and is_wav_file(fname):
+                total = WavReader(fname).duration_seconds - self.start_seconds
+            else:
+                total = (
+                    probe_duration(
+                        fname, self.gui_mode, ffmpeg_resources_path=self.ffmpeg_path
+                    )
+                    - self.start_seconds
+                )
+            return total
+        except Exception as e:
+            logger.warning(e)
+            return None
+
+    def _fit_using_audio(self, fname: str) -> None:
+        total_duration = self._probe_total_duration(fname)
+        if self.max_duration_seconds is not None and total_duration is not None:
+            total_duration = min(total_duration, self.max_duration_seconds)
+        detector = make_detector(
+            self.vad, self.sample_rate, self.frame_rate, self._non_speech_label
+        )
+        bytes_per_frame = 2
+        bytes_per_window = bytes_per_frame * self.frame_rate // self.sample_rate
+        media_bstring: List[np.ndarray] = []
+        with ProgressReporter(
+            total_duration,
+            progress_handler=self.progress_handler,
+            vlc_mode=self.vlc_mode,
+            gui_mode=self.gui_mode,
+        ) as progress:
+            for in_bytes in self._iter_pcm_chunks(
+                fname, bytes_per_window * WINDOWS_PER_BUFFER
+            ):
+                newstuff = len(in_bytes) / float(bytes_per_frame) / self.frame_rate
+                progress.update(newstuff)
+                media_bstring.append(detector(in_bytes))
+        if len(media_bstring) == 0:
+            raise ValueError(
+                "Unable to detect speech. "
+                "Perhaps try specifying a different stream / track, or a different vad."
+            )
+        self.video_speech_results_ = np.concatenate(media_bstring)
+        logger.info(
+            "total of speech segments: %s", np.sum(self.video_speech_results_)
+        )
+
+    # -- sync-core accessors ----------------------------------------------
+
+    def transform(self, *_: Any) -> np.ndarray:
+        assert self.video_speech_results_ is not None
+        if isinstance(self.video_speech_results_, np.ndarray):
+            return self.video_speech_results_
+        return self.video_speech_results_.materialize()
+
+    def signal_or_spec(self) -> Any:
+        assert self.video_speech_results_ is not None
+        return self.video_speech_results_

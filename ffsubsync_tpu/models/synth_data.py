@@ -1,0 +1,162 @@
+# -*- coding: utf-8 -*-
+"""Synthetic audio generation for training/benchmarking the neural VAD.
+
+Speech is synthesized in several modes so the learned detector keys on the
+*class* of cues (harmonicity + syllable-rate envelope structure) rather than
+one generator's quirks:
+
+- ``formant``: jittered-pitch harmonic stack shaped by random formant peaks;
+- ``stable``: clean 1/h harmonic stack with sinusoidal syllabic AM and a
+  random modulation floor (some talkers barely modulate);
+- ``fricative``: noise bursts band-passed into speech bands mixed with a weak
+  voiced component (consonant-heavy speech).
+
+Non-speech: silence/noise beds, steady tones, and music-like sustained
+harmonic chords (energetic but not syllabically modulated).
+
+Labels mark whole utterance spans (as human VAD annotations do), not the
+instantaneous envelope — the detector is expected to bridge syllabic dips.
+"""
+from typing import List, Tuple
+
+import numpy as np
+
+
+def _utterance_mask(rng, samples, frame_rate) -> np.ndarray:
+    active = np.zeros(samples, np.float32)
+    pos = 0
+    while pos < samples:
+        burst = int(rng.uniform(0.3, 3.5) * frame_rate)
+        gap = int(rng.uniform(0.2, 1.5) * frame_rate)
+        active[pos: pos + burst] = 1.0
+        pos += burst + gap
+    return active
+
+
+def _syllabic_am(rng, t) -> np.ndarray:
+    depth = rng.uniform(0.25, 0.6)
+    return (1.0 - depth) + depth * np.sin(
+        2 * np.pi * rng.uniform(2, 8) * t + rng.uniform(0, 6.28)
+    )
+
+
+def synth_speech(rng, samples: int, frame_rate: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (waveform, active_mask) for one speech clip."""
+    t = np.arange(samples) / frame_rate
+    mode = rng.randint(3)
+    f0 = rng.uniform(90, 300)
+    if mode == 0:  # formant-weighted, jittered pitch
+        jitter = 1.0 + 0.01 * np.cumsum(rng.randn(samples)) / np.sqrt(samples)
+        phase = 2 * np.pi * f0 * t * jitter
+        voiced = np.zeros(samples, np.float32)
+        for h in range(1, 12):
+            formant_gain = np.exp(
+                -0.5 * ((h * f0 - rng.choice([500, 1500, 2500])) / 600.0) ** 2
+            ) + 0.15
+            voiced += formant_gain / h * np.sin(h * phase + rng.uniform(0, 6.28))
+    elif mode == 1:  # stable harmonic stack
+        voiced = np.zeros(samples, np.float32)
+        for h in range(1, 10):
+            voiced += (1.0 / h) * np.sin(
+                2 * np.pi * f0 * h * t + rng.uniform(0, 6.28)
+            ).astype(np.float32)
+    else:  # fricative-heavy: band-passed noise + weak voiced component
+        noise = rng.randn(samples).astype(np.float32)
+        spec = np.fft.rfft(noise)
+        freqs = np.fft.rfftfreq(samples, 1.0 / frame_rate)
+        band = (freqs > 1500) & (freqs < 6000)
+        spec[~band] *= 0.05
+        voiced = np.fft.irfft(spec, samples).astype(np.float32) * 3.0
+        for h in range(1, 5):
+            voiced += (0.4 / h) * np.sin(
+                2 * np.pi * f0 * h * t + rng.uniform(0, 6.28)
+            ).astype(np.float32)
+    active = _utterance_mask(rng, samples, frame_rate)
+    level = 10 ** rng.uniform(-1.5, -0.3)
+    envelope = _syllabic_am(rng, t) * active * level
+    return (voiced * envelope).astype(np.float32), active
+
+
+def synth_nonspeech(rng, samples: int, frame_rate: int) -> np.ndarray:
+    t = np.arange(samples) / frame_rate
+    mode = rng.randint(3)
+    x = np.zeros(samples, np.float32)
+    if mode == 0:
+        pass  # noise floor only (added by caller)
+    elif mode == 1:  # steady tone(s)
+        for _ in range(rng.randint(1, 4)):
+            f = rng.uniform(100, 4000)
+            x += (10 ** rng.uniform(-1.5, -0.5)) * np.sin(
+                2 * np.pi * f * t + rng.uniform(0, 6.28)
+            ).astype(np.float32)
+    else:  # music-like sustained harmonic chords
+        seg = samples // 4
+        for s in range(4):
+            base = rng.choice([110, 147, 196, 262])
+            for h in (1, 2, 3, 4):
+                x[s * seg:(s + 1) * seg] += (
+                    10 ** rng.uniform(-1.8, -0.8) / h
+                    * np.sin(2 * np.pi * base * h * t[:seg])
+                ).astype(np.float32)
+    return x
+
+
+def synth_batch(
+    rng: np.random.RandomState,
+    n_clips: int,
+    clip_seconds: float,
+    frame_rate: int,
+    sample_rate: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(pcm int16 [n, samples], window labels float [n, windows])."""
+    window = frame_rate // sample_rate
+    samples = int(clip_seconds * frame_rate)
+    n_windows = samples // window
+    pcm = np.zeros((n_clips, samples), np.float32)
+    labels = np.zeros((n_clips, n_windows), np.float32)
+    for i in range(n_clips):
+        noise_level = 10 ** rng.uniform(-3.5, -1.5)
+        x = rng.randn(samples).astype(np.float32) * noise_level
+        if rng.rand() < 0.5:
+            speech, active = synth_speech(rng, samples, frame_rate)
+            x += speech
+            win_act = active[: n_windows * window].reshape(n_windows, window)
+            labels[i] = (win_act.mean(axis=1) > 0.5).astype(np.float32)
+        else:
+            x += synth_nonspeech(rng, samples, frame_rate)
+        pcm[i] = x
+    pcm16 = np.clip(pcm * 32767, -32768, 32767).astype(np.int16)
+    return pcm16, labels
+
+
+def speech_signal_for_spans(
+    duration_s: float,
+    speech_spans: List[Tuple[float, float]],
+    frame_rate: int = 48000,
+    seed: int = 0,
+    speech_level: float = 0.3,
+    noise_level: float = 0.002,
+) -> np.ndarray:
+    """Waveform with speech-like audio exactly inside the given spans.
+
+    Used by benchmarks and integration tests to fabricate media whose true
+    speech timeline is known.
+    """
+    rng = np.random.RandomState(seed)
+    n = int(duration_s * frame_rate)
+    t = np.arange(n) / frame_rate
+    x = rng.randn(n).astype(np.float32) * noise_level
+    for (start, end) in speech_spans:
+        i0, i1 = int(start * frame_rate), min(int(end * frame_rate), n)
+        if i1 <= i0:
+            continue
+        seg_t = t[i0:i1]
+        f0 = rng.uniform(120, 250)
+        seg = np.zeros(i1 - i0, np.float32)
+        for h in range(1, 10):
+            seg += (1.0 / h) * np.sin(
+                2 * np.pi * f0 * h * seg_t + rng.uniform(0, 6.28)
+            ).astype(np.float32)
+        am = 0.55 + 0.45 * np.sin(2 * np.pi * 4.0 * seg_t + rng.uniform(0, 6.28))
+        x[i0:i1] += speech_level * seg * am.astype(np.float32)
+    return x

@@ -1,0 +1,118 @@
+# -*- coding: utf-8 -*-
+"""Device-side audio feature extraction: framing, energies, band spectra.
+
+The reference's VAD backends consume raw s16le PCM on the host (C++ webrtcvad
+per 10 ms frame, auditok energy validator, torch silero —
+ffsubsync/speech_transformers.py:101-296). Here the per-window feature math
+runs on the TPU over whole ~100 s chunks at once:
+
+- PCM chunks are framed into ``[T, W]`` windows (``W = frame_rate //
+  sample_rate``, 480 @ 48 kHz / 100 Hz);
+- window power/energy is a single fused reduction;
+- sub-band energies come from an rFFT followed by a ``[F, B]`` band-selector
+  matmul (MXU work), giving the webrtc-class detector its 6 classic bands
+  (80-250-500-1k-2k-3k-4k Hz);
+- log-mel features for the neural VAD use a mel filterbank matmul.
+
+All functions are jit-compatible with static shapes; the last (short) chunk is
+padded to the canonical chunk length by the host and masked by ``n_valid``.
+"""
+import math
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+WEBRTC_BAND_EDGES_HZ = (80.0, 250.0, 500.0, 1000.0, 2000.0, 3000.0, 4000.0)
+
+
+def frames_per_window(frame_rate: int, sample_rate: int) -> int:
+    """Audio samples per 10 ms analysis window (= per output label)."""
+    return frame_rate // sample_rate
+
+
+def frame_chunk(pcm: jnp.ndarray, window: int) -> jnp.ndarray:
+    """[N] samples → [N // window, window] (N must be a multiple of window)."""
+    n_windows = pcm.shape[0] // window
+    return pcm[: n_windows * window].reshape(n_windows, window)
+
+
+@partial(jax.jit, static_argnames=("window",))
+def window_energies_db(pcm_i16: jnp.ndarray, window: int) -> jnp.ndarray:
+    """Per-window signal energy in dB over int16 amplitudes.
+
+    ``10·log10(mean(x²))`` — the auditok ``AudioEnergyValidator`` convention,
+    so the default threshold of 50 keeps its meaning.
+    """
+    frames = frame_chunk(pcm_i16.astype(jnp.float32), window)
+    power = jnp.mean(frames * frames, axis=-1)
+    return 10.0 * jnp.log10(jnp.maximum(power, 1e-10))
+
+
+def band_selector_matrix(
+    n_freqs: int, frame_rate: int, window: int, edges_hz=WEBRTC_BAND_EDGES_HZ
+) -> np.ndarray:
+    """[n_freqs, n_bands] 0/1 matrix mapping rFFT bins to sub-bands."""
+    freqs = np.fft.rfftfreq(window, d=1.0 / frame_rate)[:n_freqs]
+    n_bands = len(edges_hz) - 1
+    sel = np.zeros((n_freqs, n_bands), dtype=np.float32)
+    for b in range(n_bands):
+        lo, hi = edges_hz[b], edges_hz[b + 1]
+        sel[(freqs >= lo) & (freqs < hi), b] = 1.0
+    return sel
+
+
+@partial(jax.jit, static_argnames=("window",))
+def band_energies(pcm_i16: jnp.ndarray, band_sel: jnp.ndarray, window: int):
+    """Per-window sub-band powers [T, B] plus total power [T].
+
+    rFFT over each window, power spectrum, then a [F, B] matmul onto the MXU.
+    """
+    frames = frame_chunk(pcm_i16.astype(jnp.float32) / 32768.0, window)
+    spec = jnp.fft.rfft(frames, axis=-1)
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2  # [T, F]
+    bands = jnp.dot(power, band_sel, preferred_element_type=jnp.float32)
+    total = jnp.mean(frames * frames, axis=-1)
+    return bands, total
+
+
+def mel_filterbank(
+    n_freqs: int, frame_rate: int, n_mels: int = 40,
+    fmin: float = 60.0, fmax: float = 8000.0,
+) -> np.ndarray:
+    """[n_freqs, n_mels] triangular mel filterbank (HTK mel scale)."""
+    def hz_to_mel(f):
+        return 2595.0 * math.log10(1.0 + f / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    fmax = min(fmax, frame_rate / 2.0)
+    mels = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
+    hz_pts = np.array([mel_to_hz(m) for m in mels])
+    freqs = np.linspace(0.0, frame_rate / 2.0, n_freqs)
+    fb = np.zeros((n_freqs, n_mels), dtype=np.float32)
+    for m in range(n_mels):
+        lo, mid, hi = hz_pts[m], hz_pts[m + 1], hz_pts[m + 2]
+        rising = (freqs - lo) / max(mid - lo, 1e-6)
+        falling = (hi - freqs) / max(hi - mid, 1e-6)
+        fb[:, m] = np.clip(np.minimum(rising, falling), 0.0, 1.0)
+    return fb
+
+
+@partial(jax.jit, static_argnames=("window",))
+def log_mel_features(pcm_i16: jnp.ndarray, mel_fb: jnp.ndarray, window: int):
+    """Per-window log-mel features [T, M] for the neural VAD."""
+    frames = frame_chunk(pcm_i16.astype(jnp.float32) / 32768.0, window)
+    # Hann window tames spectral leakage; computed inline so the whole
+    # framing→fft→mel chain fuses into one launch
+    hann = 0.5 - 0.5 * jnp.cos(
+        2.0 * jnp.pi * jnp.arange(window, dtype=jnp.float32) / window
+    )
+    spec = jnp.fft.rfft(frames * hann[None, :], axis=-1)
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    mel = jnp.dot(power, mel_fb, preferred_element_type=jnp.float32)
+    return jnp.log(mel + 1e-6)

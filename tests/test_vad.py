@@ -1,0 +1,133 @@
+# -*- coding: utf-8 -*-
+"""VAD kernel tests: each backend must localize speech in synthetic audio."""
+import numpy as np
+import pytest
+
+from ffsubsync_tpu.ops.vad import (
+    make_auditok_detector,
+    make_detector,
+    make_fused_detector,
+    make_webrtc_detector,
+    tokenize_validity,
+)
+
+from tests.helpers import synth_speechlike
+
+FRAME_RATE = 48000
+SAMPLE_RATE = 100
+
+SPANS = [(2.0, 4.0), (6.0, 9.0), (12.0, 13.5)]
+DURATION = 16.0
+
+
+def _pcm_bytes():
+    x = synth_speechlike(DURATION, SPANS, FRAME_RATE, speech_level=0.4)
+    return np.clip(x * 32767, -32768, 32767).astype("<i2").tobytes()
+
+
+def _check_localization(labels, non_speech_label=0.0, min_recall=0.6,
+                        max_false=0.25):
+    n = len(labels)
+    assert n == int(DURATION * SAMPLE_RATE)
+    speech_mask = np.zeros(n, bool)
+    for s, e in SPANS:
+        speech_mask[int(s * SAMPLE_RATE):int(e * SAMPLE_RATE)] = True
+    in_speech = (labels[speech_mask] > 0.5).mean()
+    # leave a margin around true spans for hangover effects
+    guard = np.zeros(n, bool)
+    for s, e in SPANS:
+        guard[max(0, int((s - 0.5) * SAMPLE_RATE)):int((e + 0.5) * SAMPLE_RATE)] = True
+    out_speech = (labels[~guard] > 0.5).mean() if (~guard).any() else 0.0
+    assert in_speech >= min_recall, "recall %.2f" % in_speech
+    assert out_speech <= max_false, "false rate %.2f" % out_speech
+
+
+@pytest.mark.parametrize("maker", [make_webrtc_detector, make_auditok_detector])
+def test_energy_class_detectors_localize(maker):
+    detector = maker(SAMPLE_RATE, FRAME_RATE, 0.0)
+    labels = detector(_pcm_bytes())
+    _check_localization(labels)
+
+
+def test_neural_detector_localizes():
+    detector = make_detector("silero", SAMPLE_RATE, FRAME_RATE, 0.0)
+    labels = detector(_pcm_bytes())
+    _check_localization(labels, min_recall=0.5)
+
+
+@pytest.mark.parametrize("strategy", ["weighted", "intersection", "union"])
+def test_fused_strategies(strategy):
+    detector = make_fused_detector(SAMPLE_RATE, FRAME_RATE, 0.0, strategy)
+    labels = detector(_pcm_bytes())
+    _check_localization(labels, min_recall=0.4)
+
+
+def test_fused_rejects_unknown_strategy():
+    with pytest.raises(ValueError, match="unknown fused VAD strategy"):
+        make_fused_detector(SAMPLE_RATE, FRAME_RATE, 0.0, "bogus")
+
+
+def test_fusion_math_parity():
+    """min/max/0.6-0.4 blend with tail clipping (parity:
+    speech_transformers.py:282-294), via stubbed sub-detectors."""
+    import ffsubsync_tpu.ops.vad as vad_mod
+
+    webrtc = np.array([1.0, 0.0, 1.0, 0.0, 1.0])
+    silero = np.array([0.8, 0.6, 0.0, 0.2])  # one frame shorter
+
+    def fake_factory(result):
+        def factory(sample_rate, frame_rate, non_speech_label):
+            return lambda chunk: result
+        return factory
+
+    orig_w, orig_s = vad_mod.make_webrtc_detector, vad_mod.make_silero_detector
+    vad_mod.make_webrtc_detector = fake_factory(webrtc)
+    vad_mod.make_silero_detector = fake_factory(silero)
+    try:
+        out_i = vad_mod.make_fused_detector(100, 48000, 0.0, "intersection")(b"")
+        out_u = vad_mod.make_fused_detector(100, 48000, 0.0, "union")(b"")
+        out_w = vad_mod.make_fused_detector(100, 48000, 0.0, "weighted")(b"")
+    finally:
+        vad_mod.make_webrtc_detector = orig_w
+        vad_mod.make_silero_detector = orig_s
+    assert np.allclose(out_i, np.minimum(webrtc[:4], silero))
+    assert np.allclose(out_u, np.maximum(webrtc[:4], silero))
+    assert np.allclose(out_w, 0.6 * silero + 0.4 * webrtc[:4])
+
+
+def test_non_speech_label_propagates():
+    detector = make_webrtc_detector(SAMPLE_RATE, FRAME_RATE, 0.5)
+    labels = detector(_pcm_bytes())
+    uniques = np.unique(labels)
+    assert set(np.round(uniques, 3)).issubset({0.5, 1.0})
+
+
+def test_tokenizer_semantics():
+    # min_length=3, max_length=8, max_continuous_silence=2
+    valid = np.array([0, 1, 1, 1, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0], bool)
+    tokens = tokenize_validity(valid, 3, 8, 2)
+    # first token: 1-3 valid + 2 trailing silence kept; ends when silence > 2
+    assert tokens[0][0] == 1
+    # long run split at max_length 8
+    assert any(e - s + 1 <= 8 for s, e in tokens)
+    # short tokens dropped
+    assert tokenize_validity(np.array([0, 1, 0, 0, 0], bool), 3, 8, 2) == []
+
+
+def test_detector_dispatch():
+    for name in ("webrtc", "subs_then_webrtc", "auditok", "subs_then_auditok",
+                 "silero", "subs_then_silero", "fused", "fused:union"):
+        assert make_detector(name, SAMPLE_RATE, FRAME_RATE, 0.0) is not None
+    with pytest.raises(ValueError, match="unknown vad"):
+        make_detector("bogus", SAMPLE_RATE, FRAME_RATE, 0.0)
+
+
+def test_webrtc_state_carries_across_chunks():
+    detector = make_webrtc_detector(SAMPLE_RATE, FRAME_RATE, 0.0)
+    full = _pcm_bytes()
+    half = len(full) // 2
+    half -= half % 960  # keep chunk boundaries window-aligned
+    l1 = detector(full[:half])
+    l2 = detector(full[half:])
+    combined = np.concatenate([l1, l2])
+    _check_localization(combined, max_false=0.3)
