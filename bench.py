@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+# -*- coding: utf-8 -*-
+"""Headline benchmark: 90-minute end-to-end sync throughput on one chip.
+
+Measures the full device path of one 90-min movie sync — chunked VAD over the
+decoded PCM (fused neural+spectral kernels) plus the complete candidate-ratio
+FFT search — and reports syncs/sec/chip. ``vs_baseline`` compares against the
+reference's own published number for the same task: "usually finishes in 20 to
+30 seconds" on CPU (reference README.md:209-212; midpoint 25 s), of which the
+compute (VAD + FFT alignment) is the part this framework moves on-device.
+
+Prints ONE JSON line on stdout; diagnostics go to stderr.
+
+Env knobs: BENCH_MINUTES (default 90), BENCH_VAD (default fused),
+BENCH_PLATFORM (jax platform override).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    platform = os.environ.get("BENCH_PLATFORM")
+    if platform:
+        os.environ["JAX_PLATFORMS"] = platform
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    import jax
+
+    from ffsubsync_tpu.constants import FRAMERATE_RATIOS, SAMPLE_RATE
+    from ffsubsync_tpu.models.synth_data import speech_signal_for_spans
+    from ffsubsync_tpu.ops.align import align_candidates
+    from ffsubsync_tpu.ops.vad import make_detector
+    from ffsubsync_tpu.subs.raster import RasterSpec
+
+    minutes = float(os.environ.get("BENCH_MINUTES", "90"))
+    vad_name = os.environ.get("BENCH_VAD", "fused")
+    frame_rate = 48000
+    duration = minutes * 60.0
+    true_offset = 7.34  # seconds the subtitles fire early
+    log("device:", jax.devices()[0])
+
+    # --- fabricate the 90-min problem (untimed) ---------------------------
+    log("synthesizing %.0f min of audio..." % minutes)
+    rng = np.random.RandomState(0)
+    spans = []
+    t = 2.0
+    while t < duration - 6.0:
+        length = rng.uniform(1.0, 4.0)
+        spans.append((t, t + length))
+        t += length + rng.uniform(0.8, 4.0)
+    wav = speech_signal_for_spans(
+        duration, spans, frame_rate, speech_level=0.35
+    )
+    pcm = np.clip(wav * 32767, -32768, 32767).astype(np.int16)
+    del wav
+    log("%d speech spans, %d samples" % (len(spans), len(pcm)))
+
+    # subtitle cue geometry: spans on the subtitle timeline (shifted early)
+    candidates = []
+    ratios = [1.0] + FRAMERATE_RATIOS + [1.0 / r for r in FRAMERATE_RATIOS]
+    sub_spans = [(a - true_offset, b - true_offset) for a, b in spans]
+    n_sub = int((max(b for _, b in sub_spans)) * SAMPLE_RATE) + 2
+    for ratio in ratios:
+        starts = np.array(
+            [int(round(a * ratio * SAMPLE_RATE)) for a, _ in sub_spans], np.int32
+        )
+        ends = np.array(
+            [int(round(b * ratio * SAMPLE_RATE)) for _, b in sub_spans], np.int32
+        )
+        n = int(n_sub * ratio) + 2
+        keep = starts >= 0
+        candidates.append(
+            RasterSpec(
+                n_samples=n,
+                starts=np.clip(starts[keep], 0, n),
+                ends=np.clip(ends[keep], 0, n),
+                weight=min(1.0 / ratio, 1.0),
+                max_time=n / SAMPLE_RATE,
+                sample_rate=SAMPLE_RATE,
+            )
+        )
+
+    chunk_bytes = 2 * (frame_rate // SAMPLE_RATE) * 10000  # 100 s chunks
+    pcm_bytes = pcm.tobytes()
+    chunks = [
+        pcm_bytes[i : i + chunk_bytes] for i in range(0, len(pcm_bytes), chunk_bytes)
+    ]
+
+    def run_once():
+        detector = make_detector(vad_name, SAMPLE_RATE, frame_rate, 0.0)
+        labels = [detector(c) for c in chunks]
+        signal = np.concatenate(labels)
+        results = align_candidates(
+            signal, candidates, max_offset_samples=60 * SAMPLE_RATE
+        )
+        return signal, results
+
+    # --- warmup / compile ---------------------------------------------------
+    log("warmup (compile)...")
+    t0 = time.perf_counter()
+    signal, results = run_once()
+    log("warmup took %.2f s" % (time.perf_counter() - t0))
+
+    # --- timed run ----------------------------------------------------------
+    t0 = time.perf_counter()
+    signal, results = run_once()
+    elapsed = time.perf_counter() - t0
+
+    best = max(range(len(results)), key=lambda i: results[i].score)
+    got_offset = results[best].offset / SAMPLE_RATE
+    offset_err_ms = abs(got_offset - true_offset) * 1000.0
+    log(
+        "sync time %.3f s | best ratio %.5f | offset %.2f s (err %.1f ms) | "
+        "VAD speech frac %.3f"
+        % (elapsed, ratios[best], got_offset, offset_err_ms, (signal > 0.5).mean())
+    )
+    if offset_err_ms > 100:
+        log("WARNING: offset error above 100 ms — benchmark result suspect")
+
+    syncs_per_sec = 1.0 / elapsed
+    baseline_seconds = 25.0  # reference README: 20-30 s per movie on CPU
+    vs_baseline = baseline_seconds / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "90min_movie_syncs_per_sec_per_chip",
+                "value": round(syncs_per_sec, 4),
+                "unit": "syncs/sec/chip",
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -96,7 +96,9 @@ class WavReader:
         elif self._dtype.kind == "f":
             mono = frames.astype(np.float32).mean(axis=1) * self._scale
         else:
-            mono = frames.astype(np.float32).mean(axis=1)
+            from ffsubsync_tpu import native
+
+            return native.mix_to_mono_i16(frames)
         return np.clip(mono, -32768, 32767).astype(np.int16)
 
     def iter_chunks(

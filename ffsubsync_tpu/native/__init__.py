@@ -1,0 +1,167 @@
+# -*- coding: utf-8 -*-
+"""ctypes bindings for the native host data-plane library (libffs_native.so).
+
+Every entry point has a numpy fallback, so the package works without the
+compiled library; with it, the host side of the decode path (PCM conversion,
+mono mixdown, the energy tokenizer's sequential state machine) runs in C++.
+Build with ``make -C native`` from the repo root.
+"""
+import ctypes
+import logging
+import os
+from typing import List, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libffs_native.so")
+
+
+def _try_autobuild() -> None:
+    """Build libffs_native.so from source on first import if a toolchain is
+    present (the binary is machine-specific and not committed)."""
+    if os.environ.get("FFS_TPU_AUTO_BUILD_NATIVE") == "0":
+        return
+    src = os.path.join(
+        os.path.dirname(__file__), "..", "..", "native", "ffs_native.cpp"
+    )
+    if not os.path.exists(src):
+        return
+    import shutil
+    import subprocess
+
+    cxx = shutil.which("g++") or shutil.which("clang++")
+    if cxx is None:
+        return
+    try:
+        subprocess.run(
+            [cxx, "-O3", "-march=native", "-fPIC", "-std=c++17", "-shared",
+             "-o", _LIB_PATH, src],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        logger.info("built native library at %s", _LIB_PATH)
+    except Exception as e:
+        logger.debug("native library autobuild failed: %s", e)
+
+
+if not os.path.exists(_LIB_PATH):
+    _try_autobuild()
+
+_lib = None
+if os.path.exists(_LIB_PATH):
+    try:
+        _lib = ctypes.CDLL(_LIB_PATH)
+        _lib.ffs_pcm_s16_to_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_float,
+        ]
+        _lib.ffs_mix_to_mono_i16.argtypes = [
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int16),
+        ]
+        _lib.ffs_window_energy_db.argtypes = [
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        _lib.ffs_window_energy_db.restype = ctypes.c_int64
+        _lib.ffs_tokenize.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+        ]
+        _lib.ffs_tokenize.restype = ctypes.c_int64
+    except OSError as e:  # pragma: no cover
+        logger.warning("failed to load native library: %s", e)
+        _lib = None
+
+AVAILABLE = _lib is not None
+
+
+def _ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def pcm_s16_to_f32(pcm: np.ndarray, scale: float = 1.0) -> np.ndarray:
+    pcm = np.ascontiguousarray(pcm, dtype=np.int16)
+    if _lib is None:
+        return pcm.astype(np.float32) * scale
+    out = np.empty(len(pcm), np.float32)
+    _lib.ffs_pcm_s16_to_f32(
+        _ptr(pcm, ctypes.c_int16), _ptr(out, ctypes.c_float), len(pcm), scale
+    )
+    return out
+
+
+def mix_to_mono_i16(frames: np.ndarray) -> np.ndarray:
+    """[frames, channels] int16 → mono int16 (mean of channels)."""
+    frames = np.ascontiguousarray(frames, dtype=np.int16)
+    if frames.ndim == 1:
+        return frames
+    n, channels = frames.shape
+    if _lib is None:
+        # truncate toward zero, matching C++ integer division
+        return (
+            frames.astype(np.int32).sum(axis=1) / channels
+        ).astype(np.int16)
+    out = np.empty(n, np.int16)
+    _lib.ffs_mix_to_mono_i16(
+        _ptr(frames, ctypes.c_int16), n, channels, _ptr(out, ctypes.c_int16)
+    )
+    return out
+
+
+def window_energy_db(pcm: np.ndarray, window: int) -> np.ndarray:
+    pcm = np.ascontiguousarray(pcm, dtype=np.int16)
+    n_windows = -(-len(pcm) // window)
+    if _lib is None:
+        padded = np.zeros(n_windows * window, np.float64)
+        padded[: len(pcm)] = pcm.astype(np.float64)
+        frames = padded.reshape(n_windows, window)
+        # fallback divides by the full window; the native path divides by the
+        # true tail length (matches the device kernel's padded semantics)
+        power = np.maximum((frames**2).mean(axis=1), 1e-10)
+        return (10.0 * np.log10(power)).astype(np.float32)
+    out = np.empty(n_windows, np.float32)
+    _lib.ffs_window_energy_db(
+        _ptr(pcm, ctypes.c_int16), len(pcm), window, _ptr(out, ctypes.c_float)
+    )
+    return out
+
+
+def tokenize(
+    valid: np.ndarray, min_length: int, max_length: int, max_silence: int
+) -> List[Tuple[int, int]]:
+    """Native auditok-class tokenizer; falls back to the Python state machine."""
+    if _lib is None:
+        from ffsubsync_tpu.ops.vad import _tokenize_validity_py
+
+        return _tokenize_validity_py(valid, min_length, max_length, max_silence)
+    valid_u8 = np.ascontiguousarray(np.asarray(valid, dtype=bool), dtype=np.uint8)
+    cap = max(1, len(valid_u8))
+    starts = np.empty(cap, np.int64)
+    ends = np.empty(cap, np.int64)
+    count = _lib.ffs_tokenize(
+        _ptr(valid_u8, ctypes.c_uint8),
+        len(valid_u8),
+        min_length,
+        max_length,
+        max_silence,
+        _ptr(starts, ctypes.c_int64),
+        _ptr(ends, ctypes.c_int64),
+        cap,
+    )
+    return [(int(starts[i]), int(ends[i])) for i in range(count)]

@@ -141,10 +141,32 @@ def tokenize_validity(
 ) -> List[Tuple[int, int]]:
     """auditok-class stream tokenization of a boolean validity string.
 
-    Yields (start, end) inclusive index pairs. Tokens begin at a valid frame,
-    tolerate up to ``max_continuous_silence`` consecutive invalid frames
-    (which stay part of the token), end when silence exceeds that, are split
-    at ``max_length``, and are dropped when shorter than ``min_length``.
+    Dispatches to the native C++ state machine when libffs_native.so is
+    built (this is a sequential 100 Hz pass — exactly the control flow the
+    device is wrong for and a Python loop is slow at); the Python
+    implementation below is the behavioral definition and fallback.
+    """
+    from ffsubsync_tpu import native
+
+    if native.AVAILABLE:
+        return native.tokenize(valid, min_length, max_length,
+                               max_continuous_silence)
+    return _tokenize_validity_py(valid, min_length, max_length,
+                                 max_continuous_silence)
+
+
+def _tokenize_validity_py(
+    valid: np.ndarray,
+    min_length: int,
+    max_length: int,
+    max_continuous_silence: int,
+) -> List[Tuple[int, int]]:
+    """Reference Python implementation of :func:`tokenize_validity`.
+
+    Tokens begin at a valid frame, tolerate up to ``max_continuous_silence``
+    consecutive invalid frames (which stay part of the token), end when
+    silence exceeds that, are split at ``max_length``, and are dropped when
+    shorter than ``min_length``.
     """
     tokens: List[Tuple[int, int]] = []
     start: Optional[int] = None

@@ -447,11 +447,14 @@ def make_reference_extractor(
 
 def extract_subtitles_from_reference(args: argparse.Namespace) -> int:
     """`--extract-subs-from-stream`: no sync, just dump a subtitle track."""
+    # normalize "N" / "s:N" / "0:s:N" to "0:s:N" (the reference mangles the
+    # bare "s:N" form into an invalid "0:s:s:N" — ffsubsync.py:403-409 — which
+    # ffmpeg then rejects; normalizing correctly is a deliberate fix)
     stream = args.extract_subs_from_stream
-    if not stream.startswith("0:s:"):
+    if stream.startswith("s:"):
+        stream = "0:" + stream
+    elif not stream.startswith("0:s:"):
         stream = "0:s:{}".format(stream)
-    elif not stream.startswith("0:") and stream.startswith("s:"):
-        stream = "0:{}".format(stream)
     if not stream.startswith("0:s:"):
         logger.error(
             "invalid stream for subtitle extraction: %s", args.extract_subs_from_stream
