@@ -35,6 +35,10 @@ def main() -> int:
         jax.config.update("jax_platforms", platform)
     import jax
 
+    from ffsubsync_tpu.utils.xla_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from ffsubsync_tpu.constants import FRAMERATE_RATIOS, SAMPLE_RATE
     from ffsubsync_tpu.models.synth_data import speech_signal_for_spans
     from ffsubsync_tpu.ops.align import align_candidates
@@ -89,19 +93,19 @@ def main() -> int:
             )
         )
 
-    chunk_bytes = 2 * (frame_rate // SAMPLE_RATE) * 10000  # 100 s chunks
-    pcm_bytes = pcm.tobytes()
-    chunks = [
-        pcm_bytes[i : i + chunk_bytes] for i in range(0, len(pcm_bytes), chunk_bytes)
-    ]
-
     def run_once():
+        # the buffered product path (media/audio.py): one detector call over
+        # the whole PCM → a handful of device launches, then the batched
+        # candidate-search alignment launch
+        t0 = time.perf_counter()
         detector = make_detector(vad_name, SAMPLE_RATE, frame_rate, 0.0)
-        labels = [detector(c) for c in chunks]
-        signal = np.concatenate(labels)
+        signal = detector(pcm)
+        t1 = time.perf_counter()
         results = align_candidates(
             signal, candidates, max_offset_samples=60 * SAMPLE_RATE
         )
+        t2 = time.perf_counter()
+        log("  vad %.3f s | align %.3f s" % (t1 - t0, t2 - t1))
         return signal, results
 
     # --- warmup / compile ---------------------------------------------------
@@ -110,10 +114,17 @@ def main() -> int:
     signal, results = run_once()
     log("warmup took %.2f s" % (time.perf_counter() - t0))
 
-    # --- timed run ----------------------------------------------------------
-    t0 = time.perf_counter()
-    signal, results = run_once()
-    elapsed = time.perf_counter() - t0
+    # --- timed runs ----------------------------------------------------------
+    # best of N: the host<->device link on shared/tunneled TPU frontends has
+    # multi-second jitter; the minimum reflects what the chip actually does
+    n_runs = int(os.environ.get("BENCH_RUNS", "3"))
+    elapsed = float("inf")
+    for i in range(n_runs):
+        t0 = time.perf_counter()
+        signal, results = run_once()
+        run_s = time.perf_counter() - t0
+        log("run %d: %.3f s" % (i, run_s))
+        elapsed = min(elapsed, run_s)
 
     best = max(range(len(results)), key=lambda i: results[i].score)
     got_offset = results[best].offset / SAMPLE_RATE

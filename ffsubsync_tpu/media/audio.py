@@ -231,6 +231,28 @@ class VideoSpeechSource:
             logger.warning(e)
             return None
 
+    def _use_buffered_vad(self, total_duration: Optional[float]) -> bool:
+        """Buffered mode holds the whole PCM and runs VAD in one device pass
+        (a handful of launches for a movie); streaming mode keeps the
+        reference's constant-memory chunk loop. Decode dominates wall-clock
+        either way, so buffered is the default unless the buffer would be
+        huge or the user forces streaming."""
+        if os.environ.get("FFS_TPU_STREAMING_VAD") == "1":
+            return False
+        max_bytes = int(
+            os.environ.get("FFS_TPU_MAX_BUFFER_BYTES", 4 * 1024**3)
+        )
+        if total_duration is not None:
+            estimated = int(total_duration) * 2 * self.frame_rate
+            if estimated > max_bytes:
+                logger.info(
+                    "reference too long to buffer (%d bytes est.); "
+                    "streaming VAD chunk by chunk",
+                    estimated,
+                )
+                return False
+        return True
+
     def _fit_using_audio(self, fname: str) -> None:
         total_duration = self._probe_total_duration(fname)
         if self.max_duration_seconds is not None and total_duration is not None:
@@ -238,9 +260,11 @@ class VideoSpeechSource:
         detector = make_detector(
             self.vad, self.sample_rate, self.frame_rate, self._non_speech_label
         )
+        buffered = self._use_buffered_vad(total_duration)
         bytes_per_frame = 2
         bytes_per_window = bytes_per_frame * self.frame_rate // self.sample_rate
         media_bstring: List[np.ndarray] = []
+        pcm_parts: List[bytes] = []
         with ProgressReporter(
             total_duration,
             progress_handler=self.progress_handler,
@@ -252,7 +276,12 @@ class VideoSpeechSource:
             ):
                 newstuff = len(in_bytes) / float(bytes_per_frame) / self.frame_rate
                 progress.update(newstuff)
-                media_bstring.append(detector(in_bytes))
+                if buffered:
+                    pcm_parts.append(in_bytes)
+                else:
+                    media_bstring.append(detector(in_bytes))
+        if buffered and pcm_parts:
+            media_bstring.append(detector(b"".join(pcm_parts)))
         if len(media_bstring) == 0:
             raise ValueError(
                 "Unable to detect speech. "

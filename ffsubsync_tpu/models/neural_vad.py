@@ -22,7 +22,6 @@ TPU-first replacement:
 """
 import logging
 import os
-from functools import partial
 from typing import Dict, Optional
 
 import numpy as np
@@ -30,11 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ffsubsync_tpu.ops.features import (
-    frames_per_window,
-    log_mel_features,
-    mel_filterbank,
-)
+from ffsubsync_tpu.ops.features import frames_per_window
 
 logger = logging.getLogger(__name__)
 
@@ -43,7 +38,6 @@ HIDDEN = 64
 KERNEL = 5
 DILATIONS = (1, 2, 4, 8)
 CONTEXT = 64  # windows of left context carried across chunks
-BUCKET = 1024  # time-axis padding granularity (limits recompiles)
 
 WEIGHTS_FILENAME = "neural_vad_weights.npz"
 
@@ -64,55 +58,59 @@ def init_params(rng: jax.Array) -> Dict[str, jnp.ndarray]:
     return params
 
 
+def _dilated_conv(x: jnp.ndarray, w: jnp.ndarray, dilation: int) -> jnp.ndarray:
+    """SAME-padded dilated temporal conv as K shifted matmuls.
+
+    Equivalent to ``lax.conv_general_dilated(x[None], w, rhs_dilation=(d,),
+    padding="SAME", dimension_numbers=("NWC","WIO","NWC"))[0]`` but expressed
+    as ``K`` plain ``[T,H]@[H,H]`` matmuls on time-shifted inputs: XLA's TPU
+    conv lowering compiles slowly (minutes at movie-length T) and gains
+    nothing here, while shifted matmuls compile in seconds and run straight
+    on the MXU.
+    """
+    t = x.shape[0]
+    idx = jnp.arange(t)
+    y = jnp.zeros_like(x)
+    for j in range(KERNEL):
+        off = (j - KERNEL // 2) * dilation
+        shifted = jnp.roll(x, -off, axis=0)
+        valid = (idx + off >= 0) & (idx + off < t)
+        shifted = jnp.where(valid[:, None], shifted, 0.0)
+        y = y + jnp.dot(shifted, w[j], preferred_element_type=jnp.float32)
+    return y
+
+
+def _net(params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
+    """Normalized feats [T, M] -> probability [T] (shared net body)."""
+    x = jax.nn.relu(jnp.dot(x, params["w_in"]) + params["b_in"])  # [T, H]
+    for i, d in enumerate(DILATIONS):
+        y = _dilated_conv(x, params["w_conv%d" % i], d)
+        x = jax.nn.relu(y + params["b_conv%d" % i]) + x  # residual
+    logits = jnp.dot(x, params["w_out"])[:, 0] + params["b_out"][0]
+    return jax.nn.sigmoid(logits)
+
+
 def apply_model(params: Dict[str, jnp.ndarray], feats: jnp.ndarray) -> jnp.ndarray:
-    """feats [T, N_MELS] → speech probability [T]."""
+    """feats [T, N_MELS] -> speech probability [T]."""
     # per-chunk feature normalization makes the net level-invariant
     mean = jnp.mean(feats, axis=0, keepdims=True)
     std = jnp.std(feats, axis=0, keepdims=True) + 1e-3
-    x = (feats - mean) / std
-    x = jax.nn.relu(jnp.dot(x, params["w_in"]) + params["b_in"])  # [T, H]
-    x = x[None, :, :]  # [N=1, T, C]
-    for i, d in enumerate(DILATIONS):
-        y = jax.lax.conv_general_dilated(
-            x,
-            params["w_conv%d" % i],
-            window_strides=(1,),
-            padding="SAME",
-            rhs_dilation=(d,),
-            dimension_numbers=("NWC", "WIO", "NWC"),
-        )
-        x = jax.nn.relu(y + params["b_conv%d" % i]) + x  # residual
-    logits = jnp.dot(x[0], params["w_out"])[:, 0] + params["b_out"][0]
-    return jax.nn.sigmoid(logits)
+    return _net(params, (feats - mean) / std)
 
 
-@partial(jax.jit, static_argnames=("window",))
-def _features_and_probs(params, mel_fb, pcm_i16, n_valid, window):
-    feats = log_mel_features(pcm_i16, mel_fb, window)
-    # mask padded windows out of the normalization statistics
+@jax.jit
+def _probs_from_feats(params, feats, n_valid):
+    """Masked-normalized log-mel feats [T, M] -> speech probability [T].
+
+    Same network as :func:`apply_model`, but the normalization statistics
+    exclude windows past ``n_valid`` (time-axis bucket padding).
+    """
     t = jnp.arange(feats.shape[0])
     mask = (t < n_valid)[:, None]
-    mean = jnp.sum(feats * mask, axis=0, keepdims=True) / jnp.maximum(
-        n_valid, 1
-    )
-    var = jnp.sum(((feats - mean) * mask) ** 2, axis=0, keepdims=True) / jnp.maximum(
-        n_valid, 1
-    )
-    x = (feats - mean) / (jnp.sqrt(var) + 1e-3)
-    x = jax.nn.relu(jnp.dot(x, params["w_in"]) + params["b_in"])
-    x = x[None, :, :]
-    for i, d in enumerate(DILATIONS):
-        y = jax.lax.conv_general_dilated(
-            x,
-            params["w_conv%d" % i],
-            window_strides=(1,),
-            padding="SAME",
-            rhs_dilation=(d,),
-            dimension_numbers=("NWC", "WIO", "NWC"),
-        )
-        x = jax.nn.relu(y + params["b_conv%d" % i]) + x
-    logits = jnp.dot(x[0], params["w_out"])[:, 0] + params["b_out"][0]
-    return jax.nn.sigmoid(logits)
+    denom = jnp.maximum(n_valid, 1)
+    mean = jnp.sum(feats * mask, axis=0, keepdims=True) / denom
+    var = jnp.sum(((feats - mean) * mask) ** 2, axis=0, keepdims=True) / denom
+    return _net(params, (feats - mean) / (jnp.sqrt(var) + 1e-3))
 
 
 def default_weights_path() -> str:
@@ -120,7 +118,14 @@ def default_weights_path() -> str:
 
 
 class NeuralVAD:
-    """Chunked neural VAD inference with cross-chunk context carry."""
+    """Chunked neural VAD inference with cross-chunk context carry.
+
+    Context is carried in the *feature* domain: log-mel windows are
+    independent of each other, so prepending the last ``CONTEXT`` windows of
+    features is exactly equivalent to re-running the frontend on the
+    concatenated PCM -- and lets the fused detector share one frontend pass
+    per chunk between the neural and spectral backends.
+    """
 
     def __init__(
         self,
@@ -132,9 +137,7 @@ class NeuralVAD:
         self.frame_rate = frame_rate
         self.sample_rate = sample_rate
         self.window = frames_per_window(frame_rate, sample_rate)
-        n_freqs = self.window // 2 + 1
-        self.mel_fb = jnp.asarray(mel_filterbank(n_freqs, frame_rate, N_MELS))
-        self._carry_pcm = np.zeros(0, np.int16)
+        self._carry_feats: Optional[jnp.ndarray] = None  # [<=CONTEXT, N_MELS]
 
     @classmethod
     def load_default(cls, frame_rate: int, sample_rate: int) -> "NeuralVAD":
@@ -145,33 +148,39 @@ class NeuralVAD:
         else:
             logger.warning(
                 "neural VAD weights not found at %s; using deterministic "
-                "random initialization (detection quality will be poor — "
+                "random initialization (detection quality will be poor -- "
                 "run scripts/train_neural_vad.py)",
                 path,
             )
             params = init_params(jax.random.PRNGKey(0))
         return cls(params, frame_rate=frame_rate, sample_rate=sample_rate)
 
-    def predict_chunk(self, pcm_i16: np.ndarray) -> np.ndarray:
-        """Per-window speech probabilities for one PCM chunk."""
-        n_windows = int(np.ceil(len(pcm_i16) / float(self.window)))
+    def predict_from_frontend(
+        self, logmel: jnp.ndarray, n_windows: int
+    ) -> np.ndarray:
+        """Per-window speech probabilities from (padded) frontend features."""
+        from ffsubsync_tpu.ops.pallas.frontend import padded_window_count
+
         if n_windows == 0:
             return np.zeros(0)
-        context_windows = len(self._carry_pcm) // self.window
-        pcm_full = np.concatenate([self._carry_pcm, np.asarray(pcm_i16, np.int16)])
-        total_windows = context_windows + n_windows
-        bucket_windows = -(-total_windows // BUCKET) * BUCKET
-        padded = np.zeros(bucket_windows * self.window, np.int16)
-        padded[: len(pcm_full)] = pcm_full
-        probs = _features_and_probs(
-            self.params,
-            self.mel_fb,
-            jnp.asarray(padded),
-            jnp.int32(total_windows),
-            self.window,
+        feats_valid = logmel[:n_windows]
+        n_ctx = 0
+        if self._carry_feats is not None:
+            n_ctx = int(self._carry_feats.shape[0])
+            feats_valid = jnp.concatenate([self._carry_feats, feats_valid])
+        total = n_ctx + n_windows
+        t_pad = padded_window_count(total)
+        feats = jnp.pad(feats_valid, ((0, t_pad - total), (0, 0)))
+        probs = _probs_from_feats(self.params, feats, jnp.int32(total))
+        keep = min(CONTEXT, total)
+        self._carry_feats = feats_valid[total - keep :]
+        return np.asarray(probs[n_ctx:total], dtype=np.float64)
+
+    def predict_chunk(self, pcm_i16: np.ndarray) -> np.ndarray:
+        """Per-window speech probabilities for one PCM chunk."""
+        from ffsubsync_tpu.ops.features import compute_frontend
+
+        logmel, _bands, _total, n_windows = compute_frontend(
+            pcm_i16, self.frame_rate, self.sample_rate
         )
-        probs = np.asarray(probs)[context_windows:total_windows]
-        # carry the last CONTEXT windows of raw pcm for the next chunk
-        keep = min(CONTEXT * self.window, len(pcm_full))
-        self._carry_pcm = pcm_full[len(pcm_full) - keep :]
-        return probs.astype(np.float64)
+        return self.predict_from_frontend(logmel, n_windows)

@@ -18,6 +18,7 @@ All functions are jit-compatible with static shapes; the last (short) chunk is
 padded to the canonical chunk length by the host and masked by ``n_valid``.
 """
 import math
+import os
 from functools import partial
 from typing import Tuple
 
@@ -116,3 +117,106 @@ def log_mel_features(pcm_i16: jnp.ndarray, mel_fb: jnp.ndarray, window: int):
     power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     mel = jnp.dot(power, mel_fb, preferred_element_type=jnp.float32)
     return jnp.log(mel + 1e-6)
+
+
+# --------------------------------------------------------------------------
+# Unified frontend: one pass over the PCM produces every feature any VAD
+# backend consumes. On TPU this is the fused Pallas kernel
+# (ops/pallas/frontend.py); elsewhere the jnp composition below (identical
+# math, same matrices).
+# --------------------------------------------------------------------------
+
+_MATS_CACHE: dict = {}
+
+
+def _pallas_enabled() -> bool:
+    if os.environ.get("FFS_TPU_DISABLE_PALLAS") == "1":
+        return False
+    if os.environ.get("FFS_TPU_PALLAS_INTERPRET") == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _get_frontend_mats(frame_rate: int, window: int):
+    from ffsubsync_tpu.ops.pallas.frontend import make_frontend_mats
+
+    key = (frame_rate, window)
+    if key not in _MATS_CACHE:
+        _MATS_CACHE[key] = make_frontend_mats(frame_rate, window)
+    return _MATS_CACHE[key]
+
+
+@partial(jax.jit, static_argnames=("window",))
+def _frontend_jnp(pcm_i16, mel_fb, band_sel, window):
+    if pcm_i16.dtype == jnp.int8:  # µ-law wire codes
+        from ffsubsync_tpu.ops.pallas.frontend import mulaw_decode
+
+        samples = mulaw_decode(pcm_i16)
+    else:
+        samples = pcm_i16.astype(jnp.float32)
+    raw = frame_chunk(samples, window)
+    norm = raw / 32768.0
+    hann = 0.5 - 0.5 * jnp.cos(
+        2.0 * jnp.pi * jnp.arange(window, dtype=jnp.float32) / window
+    )
+    spec_m = jnp.fft.rfft(norm * hann[None, :], axis=-1)
+    p_mel = jnp.real(spec_m) ** 2 + jnp.imag(spec_m) ** 2
+    logmel = jnp.log(
+        jnp.dot(p_mel, mel_fb, preferred_element_type=jnp.float32) + 1e-6
+    )
+    spec_p = jnp.fft.rfft(norm, axis=-1)
+    p_pl = jnp.real(spec_p) ** 2 + jnp.imag(spec_p) ** 2
+    bands = jnp.dot(p_pl, band_sel, preferred_element_type=jnp.float32)
+    total = jnp.mean(raw * raw, axis=-1)
+    return logmel, bands, total
+
+
+def compute_frontend(
+    pcm_i16: np.ndarray, frame_rate: int, sample_rate: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, int]:
+    """Full-signal audio frontend over one PCM buffer (any length).
+
+    Returns device-resident ``(logmel [T,40], bands [T,6], total_power [T],
+    n_windows)`` where ``T ≥ n_windows`` is the geometrically-bucketed padded
+    window count (slice ``[:n_windows]``; the padding is zero PCM). ``total``
+    is in raw int16² scale so ``10·log10(total)`` matches
+    :func:`window_energies_db`.
+    """
+    from ffsubsync_tpu.ops.pallas import frontend as plf
+
+    window = frames_per_window(frame_rate, sample_rate)
+    pcm = np.asarray(pcm_i16)
+    n_windows = int(np.ceil(len(pcm) / float(window)))
+    t_pad = plf.padded_window_count(max(1, n_windows))
+    # wire format: µ-law int8 halves the bytes crossing the host→device link
+    # (the end-to-end bottleneck); decode is exact arithmetic on device.
+    # FFS_TPU_WIRE=i16 ships raw samples instead (bit-exact features).
+    wire_dtype = (
+        np.int8 if os.environ.get("FFS_TPU_WIRE", "mulaw") == "mulaw" else np.int16
+    )
+    flat = np.zeros(t_pad * window, wire_dtype)
+    if wire_dtype == np.int8:
+        flat[: len(pcm)] = plf.mulaw_encode_host(pcm)
+    else:
+        flat[: len(pcm)] = pcm
+    if _pallas_enabled():
+        mats = _get_frontend_mats(frame_rate, window)
+        interpret = os.environ.get("FFS_TPU_PALLAS_INTERPRET") == "1"
+        # lane-aligned [T, wpad] framing on the host (zero pad columns)
+        framed = np.zeros((t_pad, mats.wpad), wire_dtype)
+        framed[:, :window] = flat.reshape(t_pad, window)
+        logmel, bands, total = plf.fused_frontend(
+            jnp.asarray(framed), mats, interpret=interpret
+        )
+    else:
+        dev = jnp.asarray(flat)
+        n_freqs = window // 2 + 1
+        key = ("jnp", frame_rate, window)
+        if key not in _MATS_CACHE:
+            _MATS_CACHE[key] = (
+                jnp.asarray(mel_filterbank(n_freqs, frame_rate, 40)),
+                jnp.asarray(band_selector_matrix(n_freqs, frame_rate, window)),
+            )
+        mel_fb, band_sel = _MATS_CACHE[key]
+        logmel, bands, total = _frontend_jnp(dev, mel_fb, band_sel, window)
+    return logmel, bands, total, n_windows

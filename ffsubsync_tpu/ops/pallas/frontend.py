@@ -1,0 +1,246 @@
+# -*- coding: utf-8 -*-
+"""Fused audio-frontend Pallas kernel: the framework's hot op.
+
+Every VAD backend consumes per-10 ms-window features of the decoded PCM
+(the reference computes them per-frame on the host: webrtcvad's C++ GMM over
+sub-band energies, silero's torch frontend, auditok's energy validator —
+ffsubsync/speech_transformers.py:101-296). Here ONE kernel makes ONE pass
+over the PCM in HBM and emits everything at once:
+
+- **log-mel features** (neural VAD input): Hann window → rFFT → power →
+  mel filterbank → log;
+- **webrtc-class sub-band powers** (spectral detector input): rFFT (no
+  window) → power → 6-band selector (80/250/500/1k/2k/3k-4k Hz);
+- **total window power** (auditok-class energy detector input).
+
+TPU mapping: the per-window rFFT is expressed as a real DFT *matmul*
+(``frames[T,W] @ dft[W,2F]``) so the transform runs on the MXU systolic
+array instead of a serial FFT; the mel/band projections are further matmuls
+on the already-resident power spectrum; the Hann window and the int16
+normalization are folded into the DFT matrices so the VPU only does the
+power/log elementwise tail. All intermediates live in VMEM tiles — the only
+HBM traffic is the PCM read and the tiny ``[T, 128]`` feature write, which
+is the bandwidth speed-of-light for this op.
+
+The frequency axis is laid out as [cos | pad | sin | pad] with 128-aligned
+halves so the power computation slices at lane boundaries. Output column
+layout (see the module constants): log-mel in ``[0:40]``, band powers in
+``[64:70]``, total power (raw int16² scale) in column ``70``.
+
+Numerical contract: identical math to the jnp composition in
+ops/features.py (same matrices, same epsilons); tests compare the two paths
+in interpret mode.
+"""
+import math
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ffsubsync_tpu.ops.features import band_selector_matrix, mel_filterbank
+
+TILE_T = 256  # windows per grid step
+FREQ_PAD = 256  # cos/sin halves each padded to this many lanes
+N_OUT = 128  # output feature columns (one lane group)
+
+N_MELS = 40
+MEL_OFF = 0
+N_BANDS = 6
+BAND_OFF = 64
+TOTAL_COL = 70
+
+LOG_MEL_EPS = 1e-6
+
+
+class FrontendMats(NamedTuple):
+    """Constant operands of the frontend kernel (device-resident)."""
+
+    dft_mel: jnp.ndarray  # [Wp, 2*FREQ_PAD] Hann-windowed, /32768-scaled DFT
+    dft_plain: jnp.ndarray  # [Wp, 2*FREQ_PAD] unwindowed, /32768-scaled DFT
+    mel_fb: jnp.ndarray  # [FREQ_PAD, 64] mel filterbank (cols >= N_MELS zero)
+    band_sel: jnp.ndarray  # [FREQ_PAD, 64] band selector (cols >= N_BANDS zero)
+    window: int  # true samples per 10 ms window (e.g. 480)
+    wpad: int  # window rounded up to the 128-lane boundary (e.g. 512)
+
+
+def window_pad(window: int) -> int:
+    """Window length rounded up to a 128-lane multiple: keeps the kernel's
+    input blocks tile-aligned (unaligned int8 loads send the Mosaic compiler
+    down a masked-load path that takes minutes to compile)."""
+    return -(-window // 128) * 128
+
+
+def make_frontend_mats(frame_rate: int, window: int) -> FrontendMats:
+    n_freqs = window // 2 + 1
+    if n_freqs > FREQ_PAD:
+        raise ValueError(
+            "window %d has %d rfft bins > FREQ_PAD %d" % (window, n_freqs, FREQ_PAD)
+        )
+    wpad = window_pad(window)
+    t = np.arange(window)[:, None]
+    k = np.arange(n_freqs)[None, :]
+    ang = 2.0 * np.pi * t * k / float(window)
+    # rfft convention: X[k] = sum_t x[t]·e^{-2πi tk/W} → re = Σ x·cos, im = -Σ x·sin
+    cos = np.cos(ang).astype(np.float32)
+    sin = (-np.sin(ang)).astype(np.float32)
+
+    def pack(win: np.ndarray) -> np.ndarray:
+        d = np.zeros((wpad, 2 * FREQ_PAD), np.float32)  # rows >= window zero
+        scaled = win[:, None] / 32768.0
+        d[:window, :n_freqs] = cos * scaled
+        d[:window, FREQ_PAD : FREQ_PAD + n_freqs] = sin * scaled
+        return d
+
+    hann = (
+        0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(window, dtype=np.float64) / window)
+    ).astype(np.float32)
+    mel = np.zeros((FREQ_PAD, 64), np.float32)
+    mel[:n_freqs, :N_MELS] = mel_filterbank(n_freqs, frame_rate, N_MELS)
+    bands = np.zeros((FREQ_PAD, 64), np.float32)
+    bands[:n_freqs, :N_BANDS] = band_selector_matrix(n_freqs, frame_rate, window)
+    return FrontendMats(
+        dft_mel=jnp.asarray(pack(hann)),
+        dft_plain=jnp.asarray(pack(np.ones(window, np.float32))),
+        mel_fb=jnp.asarray(mel),
+        band_sel=jnp.asarray(bands),
+        window=window,
+        wpad=wpad,
+    )
+
+
+# µ-law (µ=255) wire codec: PCM crosses the host→device link as one byte per
+# sample instead of two — the link is the end-to-end bottleneck, and 8-bit
+# companded audio (~38 dB SNR) is transparent to every VAD feature (thresholds
+# are 6 dB / 50 dB scale). Decode is exact arithmetic (no table gather).
+MULAW_MU = 255.0
+_MULAW_SCALE = 32768.0 / MULAW_MU
+
+
+def mulaw_encode_host(pcm_i16: np.ndarray) -> np.ndarray:
+    """Vectorized host-side µ-law encode int16 → int8 in [-127, 127]."""
+    x = pcm_i16.astype(np.float32) / 32768.0
+    y = np.sign(x) * np.log1p(MULAW_MU * np.abs(x)) / np.log1p(MULAW_MU)
+    return np.round(y * 127.0).astype(np.int8)
+
+
+def mulaw_decode(code: "jnp.ndarray") -> "jnp.ndarray":
+    """Exact inverse of :func:`mulaw_encode_host` (jnp; kernel-safe)."""
+    c = code.astype(jnp.float32)
+    mag = jnp.abs(c) * (1.0 / 127.0)
+    # 256**mag == 2**(8*mag); exp2 is a native VPU transcendental
+    return jnp.sign(c) * _MULAW_SCALE * (jnp.exp2(mag * 8.0) - 1.0)
+
+
+def _decode_pcm(block: "jnp.ndarray") -> "jnp.ndarray":
+    if block.dtype == jnp.int8:
+        return mulaw_decode(block)
+    return block.astype(jnp.float32)
+
+
+def _frontend_kernel(pcm_ref, dft_mel_ref, dft_plain_ref, mel_fb_ref,
+                     band_sel_ref, out_ref, *, inv_window):
+    raw = _decode_pcm(pcm_ref[:])  # [TILE_T, Wp]
+    o_mel = jnp.dot(raw, dft_mel_ref[:], preferred_element_type=jnp.float32)
+    p_mel = (
+        o_mel[:, :FREQ_PAD] * o_mel[:, :FREQ_PAD]
+        + o_mel[:, FREQ_PAD:] * o_mel[:, FREQ_PAD:]
+    )
+    mel = jnp.dot(p_mel, mel_fb_ref[:], preferred_element_type=jnp.float32)
+    logmel = jnp.log(mel + LOG_MEL_EPS)
+    o_pl = jnp.dot(raw, dft_plain_ref[:], preferred_element_type=jnp.float32)
+    p_pl = (
+        o_pl[:, :FREQ_PAD] * o_pl[:, :FREQ_PAD]
+        + o_pl[:, FREQ_PAD:] * o_pl[:, FREQ_PAD:]
+    )
+    bands = jnp.dot(p_pl, band_sel_ref[:], preferred_element_type=jnp.float32)
+    # sum/window (not mean over the padded width): padding columns are zero
+    total = jnp.sum(raw * raw, axis=1, keepdims=True) * inv_window
+    col = jax.lax.broadcasted_iota(jnp.int32, bands.shape, 1)
+    bands = jnp.where(col == (TOTAL_COL - BAND_OFF), total, bands)
+    out_ref[:] = jnp.concatenate([logmel, bands], axis=1)
+
+
+@partial(jax.jit, static_argnames=("window", "wpad", "interpret"))
+def _frontend_call(pcm2d, dft_mel, dft_plain, mel_fb, band_sel, window, wpad,
+                   interpret):
+    t = pcm2d.shape[0]
+    grid = (t // TILE_T,)
+    flops_per_tile = 2 * TILE_T * wpad * 2 * FREQ_PAD * 2  # two DFT matmuls
+    flops_per_tile += 2 * TILE_T * FREQ_PAD * 64 * 2  # mel + band matmuls
+    kernel = partial(_frontend_kernel, inv_window=1.0 / window)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_T, wpad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wpad, 2 * FREQ_PAD), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wpad, 2 * FREQ_PAD), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((FREQ_PAD, 64), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((FREQ_PAD, 64), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_T, N_OUT), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, N_OUT), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=grid[0] * flops_per_tile,
+            bytes_accessed=t * wpad * pcm2d.dtype.itemsize + t * N_OUT * 4,
+            transcendentals=t * 64,
+        ),
+        interpret=interpret,
+    )(pcm2d, dft_mel, dft_plain, mel_fb, band_sel)
+
+
+def fused_frontend(
+    pcm2d: jnp.ndarray,
+    mats: FrontendMats,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full-signal frontend over framed PCM ``[T, wpad]`` (T a multiple of
+    ``TILE_T``; columns >= window zero); int16 samples or µ-law int8 codes.
+    1D inputs of length T·window are reshaped/padded for convenience.
+
+    Returns device arrays ``(logmel [T, 40], bands [T, 6], total_power [T])``.
+    """
+    window = mats.window
+    if pcm2d.ndim == 1:
+        n = pcm2d.shape[0]
+        if n % (TILE_T * window) != 0:
+            raise ValueError(
+                "pcm length %d not a multiple of TILE_T*window=%d"
+                % (n, TILE_T * window)
+            )
+        pcm2d = pcm2d.reshape(n // window, window)
+        if mats.wpad != window:
+            pcm2d = jnp.pad(pcm2d, ((0, 0), (0, mats.wpad - window)))
+    if pcm2d.shape[0] % TILE_T != 0 or pcm2d.shape[1] != mats.wpad:
+        raise ValueError("bad framed pcm shape %r" % (pcm2d.shape,))
+    out = _frontend_call(
+        pcm2d, mats.dft_mel, mats.dft_plain, mats.mel_fb, mats.band_sel,
+        window, mats.wpad, interpret,
+    )
+    return (
+        out[:, MEL_OFF : MEL_OFF + N_MELS],
+        out[:, BAND_OFF : BAND_OFF + N_BANDS],
+        out[:, TOTAL_COL],
+    )
+
+
+def padded_window_count(n_windows: int) -> int:
+    """Geometric bucketing of the time axis: round up to the next multiple of
+    2^⌊log2(n)⌋/8 — bounds both recompiles (≤8 shapes per octave of signal
+    length) and padding waste (≤12.5%)."""
+    base = max(TILE_T, n_windows)
+    k = int(math.floor(math.log2(base)))
+    step = max(TILE_T, (1 << k) // 8)
+    bucket = -(-base // step) * step
+    return -(-bucket // TILE_T) * TILE_T

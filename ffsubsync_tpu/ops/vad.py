@@ -4,11 +4,13 @@
 The reference drives three out-of-tree native detectors — webrtcvad (C++ GMM),
 silero (torch), auditok (energy tokenizer) — one 10 ms frame at a time on the
 host (ffsubsync/speech_transformers.py:101-296). Here each ``--vad`` choice
-maps to an in-tree device kernel operating on whole ~100 s chunks:
+maps to an in-tree device kernel, fed by ONE shared fused-frontend pass over
+the PCM (ops/features.compute_frontend → the Pallas kernel on TPU), whether
+the audio arrives as ~100 s streamed chunks or as one whole-movie buffer:
 
-- ``webrtc`` → spectral sub-band SNR detector: band energies on device
-  (rfft + band matmul), adaptive minimum-statistics noise floor tracked by a
-  ``lax.scan``, weighted-SNR vote with hangover. Frames judged non-speech
+- ``webrtc`` → spectral sub-band SNR detector: band energies from the
+  frontend, adaptive minimum-statistics noise floor and hangover evaluated
+  as *parallel* associative scans (no serial loop). Frames judged non-speech
   emit ``non_speech_label`` ("not sure", parity with
   speech_transformers.py:179-180).
 - ``auditok`` → device window energies + the reference's energy-tokenizer
@@ -34,12 +36,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ffsubsync_tpu.ops.features import (
-    band_energies,
-    band_selector_matrix,
-    frames_per_window,
-    window_energies_db,
-)
+from ffsubsync_tpu.ops.features import compute_frontend, frames_per_window
 
 logger = logging.getLogger(__name__)
 
@@ -69,67 +66,148 @@ def _pcm_bytes_to_i16(chunk: bytes) -> np.ndarray:
     return np.frombuffer(chunk, np.int16)
 
 
-@partial(jax.jit, static_argnames=("window",))
-def _webrtc_chunk_kernel(pcm_i16, band_sel, ema_state, noise_floor, window):
-    """Band energies → EMA smoothing → adaptive min-statistics noise floor →
-    weighted SNR vote with hangover.
+_SCAN_BLOCK = 4096  # inner block length of the two-level scans
 
-    ``+inf`` in the carried state means "uninitialized" (first chunk): the
-    first window's energies seed both the EMA and the floor. Returns
+
+def _blocked_scan(fn, elems, identity):
+    """Associative scan along axis 0, evaluated in two levels.
+
+    A flat ``jax.lax.associative_scan`` at movie-scale T (≈540k windows for
+    90 min) makes XLA:TPU's compile time explode (>10 min observed; the
+    recursive odd/even decomposition emits thousands of odd-shaped slices).
+    Splitting into fixed ``_SCAN_BLOCK``-sized inner scans (vmapped over
+    blocks) plus one tiny scan over per-block summaries keeps the compiled
+    program size — and thus compile time — independent of T, with the same
+    O(T) work and O(log T) depth.
+
+    ``fn(left, right)`` must be associative and elementwise (broadcastable);
+    ``elems`` is a pytree of [T, ...] arrays; ``identity`` a matching pytree
+    of scalars (fn's identity). T must be a multiple of ``_SCAN_BLOCK`` or
+    smaller than it.
+    """
+    leaves = jax.tree_util.tree_leaves(elems)
+    t = leaves[0].shape[0]
+    if t <= _SCAN_BLOCK:
+        return jax.lax.associative_scan(fn, elems, axis=0)
+    rem = (-t) % _SCAN_BLOCK
+    if rem:  # identity-pad so padding can't affect any prefix
+        elems = jax.tree_util.tree_map(
+            lambda x, ident: jnp.concatenate(
+                [x, jnp.full((rem,) + x.shape[1:], ident, x.dtype)], axis=0
+            ),
+            elems,
+            identity,
+        )
+        out = _blocked_scan(fn, elems, identity)
+        return jax.tree_util.tree_map(lambda x: x[:t], out)
+    n_blocks = t // _SCAN_BLOCK
+    blocks = jax.tree_util.tree_map(
+        lambda x: x.reshape((n_blocks, _SCAN_BLOCK) + x.shape[1:]), elems
+    )
+    local = jax.vmap(lambda b: jax.lax.associative_scan(fn, b, axis=0))(blocks)
+    block_last = jax.tree_util.tree_map(lambda x: x[:, -1], local)
+    block_incl = jax.lax.associative_scan(fn, block_last, axis=0)
+    prefix = jax.tree_util.tree_map(
+        lambda inc, ident: jnp.concatenate(
+            [jnp.full_like(inc[:1], ident), inc[:-1]], axis=0
+        )[:, None],
+        block_incl,
+        identity,
+    )
+    combined = fn(prefix, local)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((t,) + x.shape[2:]), combined
+    )
+
+
+@jax.jit
+def _webrtc_from_bands(bands, n_valid, ema_in, noise_in):
+    """Band energies -> EMA smoothing -> adaptive min-statistics noise floor ->
+    weighted SNR vote with hangover -- all in *parallel* (log-depth) form.
+
+    The sequential per-window recurrences become (two-level blocked)
+    associative scans so a 90-minute signal (540k windows) is one launch
+    with no serial loop:
+
+    - the EMA is a first-order affine recurrence, scanned as composed
+      ``(a, b)`` pairs;
+    - the min-statistics floor ``noise[t] = min(ema[t], noise[t-1]*g)`` is,
+      in log domain, ``t*ln(g) + cummin(ln_ema - t*ln(g))`` -- a running
+      minimum;
+    - the hangover ("speech for H windows after any raw vote") is
+      ``t - last_raw_index[t] < H`` via a running maximum.
+
+    ``bands`` may be padded past ``n_valid`` (time-axis bucketing keeps the
+    compile count bounded); padded elements are scan identities, and the
+    carried-out state is read at ``n_valid - 1`` so streaming chunked use
+    sees exactly the unpadded recurrence. ``+inf`` in the carried-in state
+    means "uninitialized" (first chunk): the first window's energies seed
+    both the EMA and the floor. Returns
     (speech_bool [T], ema_state [B], noise_floor [B]).
     """
-    bands, _total = band_energies(pcm_i16, band_sel, window)
-    bands = jnp.maximum(bands, 1e-12)
+    t_pad = bands.shape[0]
+    t_idx = jnp.arange(t_pad, dtype=jnp.int32)
+    valid = (t_idx < n_valid)[:, None]
+    e = jnp.maximum(bands, 1e-12)  # [T, B]
+    carry0 = jnp.where(jnp.isinf(ema_in), e[0], ema_in)
+    coef_a = jnp.where(valid, 1.0 - _ENERGY_EMA_ALPHA, 1.0)
+    coef_b = jnp.where(valid, _ENERGY_EMA_ALPHA * e, 0.0)
 
-    def track(carry, e):
-        ema, noise = carry
-        ema = jnp.where(
-            jnp.isinf(ema), e, _ENERGY_EMA_ALPHA * e + (1.0 - _ENERGY_EMA_ALPHA) * ema
-        )
-        noise = jnp.minimum(ema, noise * _NOISE_FLOOR_GROWTH + 1e-12)
-        return (ema, noise), (ema, noise)
+    def affine(left, right):
+        a1, b1 = left
+        a2, b2 = right
+        return a1 * a2, a2 * b1 + b2
 
-    (ema_state, noise_floor), (ema_seq, noise_seq) = jax.lax.scan(
-        track, (ema_state, noise_floor), bands
+    big_a, big_b = _blocked_scan(
+        affine, (coef_a, coef_b), (jnp.float32(1.0), jnp.float32(0.0))
     )
-    snr_db = 10.0 * (jnp.log10(ema_seq) - jnp.log10(noise_seq + 1e-12))
-    score = jnp.dot(snr_db, jnp.asarray(_BAND_WEIGHTS)) / _BAND_WEIGHTS.sum()
-    raw = score > _SNR_THRESHOLD_DB
-
-    def hang(carry, s):
-        carry = jnp.where(s, _HANGOVER_WINDOWS, jnp.maximum(carry - 1, 0))
-        return carry, carry > 0
-
-    _, speech = jax.lax.scan(hang, jnp.int32(0), raw)
-    return speech, ema_state, noise_floor
+    ema_seq = big_a * carry0[None, :] + big_b  # [T, B]
+    ln_ema = jnp.log(ema_seq)
+    lng = jnp.float32(np.log(_NOISE_FLOOR_GROWTH))
+    tt = t_idx.astype(jnp.float32)[:, None] * lng
+    cummin = _blocked_scan(
+        jnp.minimum, jnp.where(valid, ln_ema - tt, jnp.inf), jnp.float32(jnp.inf)
+    )
+    ln_noise = jnp.minimum(tt + cummin, jnp.log(noise_in)[None, :] + tt + lng)
+    snr_db = (10.0 / np.log(10.0)) * (ln_ema - ln_noise)
+    weights = jnp.asarray(_BAND_WEIGHTS)
+    score = jnp.dot(snr_db, weights) / _BAND_WEIGHTS.sum()
+    raw = (score > _SNR_THRESHOLD_DB) & valid[:, 0]
+    last = _blocked_scan(
+        jnp.maximum, jnp.where(raw, t_idx, -(1 << 30)), jnp.int32(-(1 << 30))
+    )
+    speech = t_idx - last < _HANGOVER_WINDOWS
+    out_t = jnp.maximum(n_valid - 1, 0)
+    return speech, ema_seq[out_t], jnp.exp(ln_noise[out_t])
 
 
 def make_webrtc_detector(
     sample_rate: int, frame_rate: int, non_speech_label: float
 ) -> Callable[[bytes], np.ndarray]:
     """WebRTC-class detector: spectral sub-band SNR kernel on device."""
-    window = frames_per_window(frame_rate, sample_rate)
-    n_freqs = window // 2 + 1
-    band_sel = jnp.asarray(band_selector_matrix(n_freqs, frame_rate, window))
-    n_bands = band_sel.shape[1]
     state = {
-        "ema": jnp.full((n_bands,), jnp.inf, jnp.float32),
-        "noise": jnp.full((n_bands,), jnp.inf, jnp.float32),
+        "ema": jnp.full((6,), jnp.inf, jnp.float32),
+        "noise": jnp.full((6,), jnp.inf, jnp.float32),
     }
+
+    def _from_frontend(bands, n_windows: int) -> np.ndarray:
+        speech, state["ema"], state["noise"] = _webrtc_from_bands(
+            bands, jnp.int32(n_windows), state["ema"], state["noise"]
+        )
+        return np.where(
+            np.asarray(speech[:n_windows]), 1.0, non_speech_label
+        )
 
     def _detect(chunk) -> np.ndarray:
         pcm = _pcm_bytes_to_i16(chunk)
-        n_windows = int(np.ceil(len(pcm) / float(window)))
-        if n_windows == 0:
+        if len(pcm) == 0:
             return np.zeros(0)
-        padded = np.zeros(n_windows * window, np.int16)
-        padded[: len(pcm)] = pcm
-        speech, state["ema"], state["noise"] = _webrtc_chunk_kernel(
-            jnp.asarray(padded), band_sel, state["ema"], state["noise"], window
+        _logmel, bands, _total, n_windows = compute_frontend(
+            pcm, frame_rate, sample_rate
         )
-        speech = np.asarray(speech[:n_windows])
-        return np.where(speech, 1.0, non_speech_label)
+        return _from_frontend(bands, n_windows)
 
+    _detect.from_frontend = _from_frontend
     return _detect
 
 
@@ -214,22 +292,22 @@ def make_auditok_detector(
     ``non_speech_label``-floored 0 elsewhere, one label per 10 ms window plus
     the reference's ceil-division length convention.
     """
-    window = frames_per_window(frame_rate, sample_rate)
     min_length = int(MIN_TOKEN_FACTOR * sample_rate)
     max_length = int(MAX_TOKEN_FACTOR * sample_rate)
     max_silence = int(MAX_SILENCE_FACTOR * sample_rate)
 
     def _detect(chunk) -> np.ndarray:
         pcm = _pcm_bytes_to_i16(chunk)
-        n_windows = int(np.ceil(len(pcm) / float(window)))
-        if n_windows == 0:
+        if len(pcm) == 0:
             return np.zeros(0)
-        padded = np.zeros(n_windows * window, np.int16)
-        padded[: len(pcm)] = pcm
-        energies = np.asarray(window_energies_db(jnp.asarray(padded), window))
-        valid = energies[:n_windows] >= ENERGY_THRESHOLD_DB
-        length = n_windows
-        media_bstring = np.zeros(length + 1)
+        _logmel, _bands, total, n_windows = compute_frontend(
+            pcm, frame_rate, sample_rate
+        )
+        energies = 10.0 * np.log10(
+            np.maximum(np.asarray(total[:n_windows]), 1e-10)
+        )
+        valid = energies >= ENERGY_THRESHOLD_DB
+        media_bstring = np.zeros(n_windows + 1)
         for tok_start, tok_end in tokenize_validity(
             valid, min_length, max_length, max_silence
         ):
@@ -248,11 +326,20 @@ def make_silero_detector(
 
     model = NeuralVAD.load_default(frame_rate=frame_rate, sample_rate=sample_rate)
 
-    def _detect(chunk) -> np.ndarray:
-        pcm = _pcm_bytes_to_i16(chunk)
-        probs = model.predict_chunk(pcm)
+    def _from_frontend(logmel, n_windows: int) -> np.ndarray:
+        probs = model.predict_from_frontend(logmel, n_windows)
         return 1.0 - (1.0 - probs) * (1.0 - non_speech_label)
 
+    def _detect(chunk) -> np.ndarray:
+        pcm = _pcm_bytes_to_i16(chunk)
+        if len(pcm) == 0:
+            return np.zeros(0)
+        logmel, _bands, _total, n_windows = compute_frontend(
+            pcm, frame_rate, sample_rate
+        )
+        return _from_frontend(logmel, n_windows)
+
+    _detect.from_frontend = _from_frontend
     return _detect
 
 
@@ -262,7 +349,11 @@ def make_fused_detector(
     non_speech_label: float,
     fusion_strategy: str = "weighted",
 ) -> Callable[[bytes], np.ndarray]:
-    """Combine the webrtc-class and neural detectors."""
+    """Combine the webrtc-class and neural detectors.
+
+    Both backends consume the SAME fused-frontend pass (one PCM read on
+    device per chunk); only the tiny per-window label math differs.
+    """
     if fusion_strategy not in _FUSION_STRATEGIES:
         raise ValueError(
             "unknown fused VAD strategy %r; choose one of %s"
@@ -271,9 +362,22 @@ def make_fused_detector(
     webrtc_detector = make_webrtc_detector(sample_rate, frame_rate, non_speech_label)
     silero_detector = make_silero_detector(sample_rate, frame_rate, non_speech_label)
 
+    webrtc_from = getattr(webrtc_detector, "from_frontend", None)
+    silero_from = getattr(silero_detector, "from_frontend", None)
+
     def _detect(chunk) -> np.ndarray:
-        webrtc_result = webrtc_detector(chunk)
-        silero_result = silero_detector(chunk)
+        if webrtc_from is not None and silero_from is not None:
+            pcm = _pcm_bytes_to_i16(chunk)
+            if len(pcm) == 0:
+                return np.zeros(0)
+            logmel, bands, _total, n_windows = compute_frontend(
+                pcm, frame_rate, sample_rate
+            )
+            webrtc_result = webrtc_from(bands, n_windows)
+            silero_result = silero_from(logmel, n_windows)
+        else:  # substitute backends without the shared-frontend hook
+            webrtc_result = webrtc_detector(chunk)
+            silero_result = silero_detector(chunk)
         # detectors can disagree by a frame at the tail; clip to common length
         min_len = min(len(webrtc_result), len(silero_result))
         webrtc_result = webrtc_result[:min_len]

@@ -738,6 +738,9 @@ def run(
     logged and swallowed so a buggy handler cannot abort syncing (video-path
     only, as in the reference).
     """
+    from ffsubsync_tpu.utils.xla_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     sync_was_successful = False
     result: Dict[str, Any] = {
         "retval": 0,

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+# -*- coding: utf-8 -*-
+"""Ahead-of-time warm the persistent XLA kernel cache.
+
+Compiles every device program the sync pipeline needs for a given reference
+duration (frontend kernel, spectral + neural VAD, alignment search) and
+stores the executables in the persistent cache
+(utils/xla_cache.enable_persistent_cache), so production processes start
+with zero compile latency. Useful after deploying a new build or before
+benchmarking.
+
+Usage: python scripts/precompile.py [minutes ...]   (default: 90)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def warm(minutes: float) -> None:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ffsubsync_tpu.constants import FRAMERATE_RATIOS, SAMPLE_RATE
+    from ffsubsync_tpu.ops.align import align_candidates
+    from ffsubsync_tpu.ops.features import compute_frontend
+    from ffsubsync_tpu.ops.vad import _webrtc_from_bands
+    from ffsubsync_tpu.models.neural_vad import NeuralVAD, _probs_from_feats
+    from ffsubsync_tpu.ops.pallas.frontend import padded_window_count
+    from ffsubsync_tpu.subs.raster import RasterSpec
+
+    frame_rate = 48000
+    window = frame_rate // SAMPLE_RATE
+    n_windows = int(minutes * 60 * SAMPLE_RATE)
+    rng = np.random.RandomState(0)
+    pcm = (rng.randn(n_windows * window) * 2000).astype(np.int16)
+
+    t0 = time.perf_counter()
+    logmel, bands, total, nw = compute_frontend(pcm, frame_rate, SAMPLE_RATE)
+    jax.block_until_ready(bands)
+    log("  frontend: %.1f s" % (time.perf_counter() - t0))
+
+    t0 = time.perf_counter()
+    ema0 = jnp.full((6,), jnp.inf, jnp.float32)
+    noise0 = jnp.full((6,), jnp.inf, jnp.float32)
+    jax.block_until_ready(
+        _webrtc_from_bands(bands, jnp.int32(nw), ema0, noise0)
+    )
+    log("  webrtc: %.1f s" % (time.perf_counter() - t0))
+
+    t0 = time.perf_counter()
+    model = NeuralVAD.load_default(frame_rate=frame_rate, sample_rate=SAMPLE_RATE)
+    t_pad = padded_window_count(nw)
+    feats = jnp.pad(logmel[:nw], ((0, t_pad - nw), (0, 0)))
+    jax.block_until_ready(_probs_from_feats(model.params, feats, jnp.int32(nw)))
+    log("  neural: %.1f s" % (time.perf_counter() - t0))
+
+    t0 = time.perf_counter()
+    signal = (rng.rand(nw) > 0.8).astype(np.float64)
+    cands = []
+    for ratio in [1.0] + FRAMERATE_RATIOS + [1.0 / r for r in FRAMERATE_RATIOS]:
+        starts = np.sort(rng.randint(0, nw - 500, size=1024).astype(np.int32))
+        cands.append(
+            RasterSpec(
+                n_samples=int(nw * ratio) + 2,
+                starts=starts,
+                ends=(starts + 150).astype(np.int32),
+                weight=min(1.0 / ratio, 1.0),
+                max_time=nw / float(SAMPLE_RATE),
+                sample_rate=SAMPLE_RATE,
+            )
+        )
+    align_candidates(signal, cands, max_offset_samples=60 * SAMPLE_RATE)
+    log("  align: %.1f s" % (time.perf_counter() - t0))
+
+
+def main() -> int:
+    from ffsubsync_tpu.utils.xla_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    minutes = [float(m) for m in sys.argv[1:]] or [90.0]
+    for m in minutes:
+        log("warming %.0f-minute pipeline..." % m)
+        warm(m)
+    log("done")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,233 @@
+# -*- coding: utf-8 -*-
+"""Fused Pallas frontend: parity with the jnp composition, bucketing, and
+the parallel webrtc recurrences vs a straight sequential reference."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ffsubsync_tpu.ops import features
+from ffsubsync_tpu.ops.pallas import frontend as plf
+
+
+def _random_pcm(n, seed=0):
+    rng = np.random.RandomState(seed)
+    return (rng.randn(n) * 3000).clip(-32768, 32767).astype(np.int16)
+
+
+def test_pallas_kernel_matches_jnp_frontend(monkeypatch):
+    """The kernel (interpret mode) and the jnp fallback compute identical
+    features from the same PCM."""
+    frame_rate, sample_rate = 8000, 100
+    window = frame_rate // sample_rate  # 80
+    t = plf.TILE_T * 2
+    pcm = _random_pcm(t * window)
+
+    mats = plf.make_frontend_mats(frame_rate, window)
+    logmel_k, bands_k, total_k = plf.fused_frontend(
+        jnp.asarray(pcm), mats, interpret=True
+    )
+
+    monkeypatch.setenv("FFS_TPU_DISABLE_PALLAS", "1")
+    monkeypatch.setenv("FFS_TPU_WIRE", "i16")
+    logmel_j, bands_j, total_j, n_windows = features.compute_frontend(
+        pcm, frame_rate, sample_rate
+    )
+    assert n_windows == t
+    np.testing.assert_allclose(
+        np.asarray(logmel_k), np.asarray(logmel_j)[: t], rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(bands_k), np.asarray(bands_j)[: t], rtol=2e-3, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(total_k), np.asarray(total_j)[: t], rtol=1e-4
+    )
+
+
+def test_jnp_frontend_matches_legacy_helpers(monkeypatch):
+    """compute_frontend's jnp path reproduces the original per-op helpers
+    (log_mel_features / band_energies / window_energies_db) on the exact
+    (i16) wire."""
+    monkeypatch.setenv("FFS_TPU_WIRE", "i16")
+    frame_rate, sample_rate = 8000, 100
+    window = frame_rate // sample_rate
+    n_windows = 300
+    pcm = _random_pcm(n_windows * window, seed=1)
+
+    logmel, bands, total, nw = features.compute_frontend(
+        pcm, frame_rate, sample_rate
+    )
+    assert nw == n_windows
+    n_freqs = window // 2 + 1
+    mel_fb = jnp.asarray(features.mel_filterbank(n_freqs, frame_rate, 40))
+    band_sel = jnp.asarray(
+        features.band_selector_matrix(n_freqs, frame_rate, window)
+    )
+    ref_logmel = np.asarray(
+        features.log_mel_features(jnp.asarray(pcm), mel_fb, window)
+    )
+    ref_bands, _ = features.band_energies(jnp.asarray(pcm), band_sel, window)
+    ref_db = np.asarray(features.window_energies_db(jnp.asarray(pcm), window))
+
+    np.testing.assert_allclose(
+        np.asarray(logmel)[:n_windows], ref_logmel, rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(bands)[:n_windows], np.asarray(ref_bands), rtol=1e-4, atol=1e-6
+    )
+    got_db = 10.0 * np.log10(np.maximum(np.asarray(total)[:n_windows], 1e-10))
+    np.testing.assert_allclose(got_db, ref_db, rtol=1e-4, atol=1e-3)
+
+
+def test_mulaw_roundtrip_snr():
+    """µ-law wire codec: exact arithmetic inverse, speech-grade SNR."""
+    pcm = _random_pcm(48000, seed=7)
+    code = plf.mulaw_encode_host(pcm)
+    assert code.dtype == np.int8
+    decoded = np.asarray(plf.mulaw_decode(jnp.asarray(code)))
+    x = pcm.astype(np.float64)
+    err = decoded - x
+    snr_db = 10 * np.log10((x**2).mean() / max((err**2).mean(), 1e-12))
+    assert snr_db > 30.0  # companded 8-bit speech quality
+    # exact inverse at the code points: re-encoding the decode is a fixpoint
+    assert np.array_equal(plf.mulaw_encode_host(decoded.astype(np.int16)), code)
+
+
+def test_frontend_mulaw_wire_parity(monkeypatch):
+    """On the µ-law wire, the Pallas kernel and the jnp fallback still agree
+    (both decode the same codes on device)."""
+    frame_rate, sample_rate = 8000, 100
+    window = frame_rate // sample_rate
+    t = plf.TILE_T
+    pcm = _random_pcm(t * window, seed=3)
+    code = plf.mulaw_encode_host(pcm)
+
+    mats = plf.make_frontend_mats(frame_rate, window)
+    logmel_k, bands_k, total_k = plf.fused_frontend(
+        jnp.asarray(code), mats, interpret=True
+    )
+    monkeypatch.setenv("FFS_TPU_DISABLE_PALLAS", "1")
+    monkeypatch.setenv("FFS_TPU_WIRE", "mulaw")
+    logmel_j, bands_j, total_j, nw = features.compute_frontend(
+        pcm, frame_rate, sample_rate
+    )
+    assert nw == t
+    np.testing.assert_allclose(
+        np.asarray(logmel_k), np.asarray(logmel_j)[:t], rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(total_k), np.asarray(total_j)[:t], rtol=1e-3
+    )
+
+
+def test_padded_window_count_properties():
+    for n in [1, 7, 255, 256, 1000, 54321, 540000, 2_000_000]:
+        t = plf.padded_window_count(n)
+        assert t >= n
+        assert t % plf.TILE_T == 0
+        assert t <= max(plf.TILE_T, int(n * 1.13) + plf.TILE_T)
+    # bucketing: nearby lengths share a padded shape
+    assert plf.padded_window_count(540000) == plf.padded_window_count(539000)
+
+
+def _webrtc_sequential_reference(bands, ema0, noise0):
+    """Straight numpy transcription of the sequential recurrences the
+    parallel kernel replaces."""
+    from ffsubsync_tpu.ops import vad as vad_mod
+
+    alpha = vad_mod._ENERGY_EMA_ALPHA
+    growth = vad_mod._NOISE_FLOOR_GROWTH
+    w = vad_mod._BAND_WEIGHTS
+    thresh = vad_mod._SNR_THRESHOLD_DB
+    hang_n = vad_mod._HANGOVER_WINDOWS
+    e = np.maximum(bands, 1e-12)
+    ema = ema0.copy()
+    noise = noise0.copy()
+    speech = np.zeros(len(e), bool)
+    hang = 0
+    for t in range(len(e)):
+        ema = np.where(np.isinf(ema), e[t], alpha * e[t] + (1 - alpha) * ema)
+        noise = np.minimum(ema, noise * growth)
+        snr_db = 10.0 * (np.log10(ema) - np.log10(noise))
+        score = float(np.dot(snr_db, w) / w.sum())
+        raw = score > thresh
+        hang = hang_n if raw else max(hang - 1, 0)
+        speech[t] = hang > 0
+    return speech, ema, noise
+
+
+@pytest.mark.parametrize("carry_in", [False, True])
+def test_parallel_webrtc_matches_sequential(carry_in):
+    from ffsubsync_tpu.ops.vad import _webrtc_from_bands
+
+    rng = np.random.RandomState(42)
+    t, b = 400, 6
+    # piecewise loud/quiet segments exercise both floor tracking and hangover
+    bands = np.exp(rng.randn(t, b)).astype(np.float32)
+    bands[100:160] *= 300.0
+    bands[300:330] *= 500.0
+    if carry_in:
+        ema0 = np.exp(rng.randn(b)).astype(np.float32)
+        noise0 = (np.exp(rng.randn(b)) * 0.1).astype(np.float32)
+    else:
+        ema0 = np.full(b, np.inf, np.float32)
+        noise0 = np.full(b, np.inf, np.float32)
+
+    want_speech, want_ema, want_noise = _webrtc_sequential_reference(
+        bands.astype(np.float64), ema0.astype(np.float64), noise0.astype(np.float64)
+    )
+    got_speech, got_ema, got_noise = _webrtc_from_bands(
+        jnp.asarray(bands), jnp.int32(t), jnp.asarray(ema0), jnp.asarray(noise0)
+    )
+    assert np.array_equal(np.asarray(got_speech), want_speech)
+    np.testing.assert_allclose(np.asarray(got_ema), want_ema, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_noise), want_noise, rtol=1e-3)
+
+
+def test_parallel_webrtc_padding_is_inert():
+    """Bucket padding past n_valid must not change outputs or carried state."""
+    from ffsubsync_tpu.ops.vad import _webrtc_from_bands
+
+    rng = np.random.RandomState(3)
+    t, b = 257, 6
+    bands = np.exp(rng.randn(t, b)).astype(np.float32)
+    bands[50:90] *= 200.0
+    ema0 = np.full(b, np.inf, np.float32)
+    noise0 = np.full(b, np.inf, np.float32)
+
+    s1, e1, n1 = _webrtc_from_bands(
+        jnp.asarray(bands), jnp.int32(t), jnp.asarray(ema0), jnp.asarray(noise0)
+    )
+    padded = np.zeros((512, b), np.float32)
+    padded[:t] = bands
+    s2, e2, n2 = _webrtc_from_bands(
+        jnp.asarray(padded), jnp.int32(t), jnp.asarray(ema0), jnp.asarray(noise0)
+    )
+    assert np.array_equal(np.asarray(s1)[:t], np.asarray(s2)[:t])
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(n1), np.asarray(n2), rtol=1e-5)
+
+
+def test_detector_chunked_vs_fullsignal_webrtc():
+    """Feeding the whole PCM in one call equals streaming it in chunks
+    (state is carried), for the spectral detector."""
+    from ffsubsync_tpu.ops.vad import make_webrtc_detector
+    from ffsubsync_tpu.models.synth_data import speech_signal_for_spans
+
+    frame_rate, sample_rate = 8000, 100
+    duration = 20.0
+    spans = [(2.0, 4.0), (7.5, 9.0), (14.0, 17.0)]
+    wav = speech_signal_for_spans(duration, spans, frame_rate, speech_level=0.3)
+    pcm = np.clip(wav * 32767, -32768, 32767).astype(np.int16)
+
+    full = make_webrtc_detector(sample_rate, frame_rate, 0.0)(pcm)
+    chunked_det = make_webrtc_detector(sample_rate, frame_rate, 0.0)
+    chunk = frame_rate * 7  # deliberately not a whole number of seconds·10
+    parts = [
+        chunked_det(pcm[i : i + chunk]) for i in range(0, len(pcm), chunk)
+    ]
+    streamed = np.concatenate(parts)
+    assert len(full) == len(streamed)
+    # identical recurrences → identical labels (modulo fp at chunk seams)
+    assert (full != streamed).mean() < 0.01
