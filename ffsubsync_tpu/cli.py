@@ -327,6 +327,13 @@ def add_cli_only_args(parser: argparse.ArgumentParser) -> None:
         default=None,
         help=argparse.SUPPRESS,  # reserved for the batch/slice API
     )
+    parser.add_argument(
+        "--profile-dir",
+        default=None,
+        help="Capture a device profile of the sync into this directory "
+        "(jax.profiler trace, viewable in TensorBoard/XProf or Perfetto). "
+        "The reference has no profiler; this is TPU-native observability.",
+    )
 
 
 def make_parser() -> argparse.ArgumentParser:

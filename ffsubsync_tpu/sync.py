@@ -753,7 +753,19 @@ def run(
         return result
     log_path, log_handler = _setup_logging(args)
     try:
-        sync_was_successful = _run_impl(args, result, progress_handler=progress_handler)
+        profile_dir = getattr(args, "profile_dir", None)
+        if profile_dir:
+            import jax
+
+            logger.info("profiling device trace to %s", profile_dir)
+            with jax.profiler.trace(profile_dir):
+                sync_was_successful = _run_impl(
+                    args, result, progress_handler=progress_handler
+                )
+        else:
+            sync_was_successful = _run_impl(
+                args, result, progress_handler=progress_handler
+            )
         result["sync_was_successful"] = sync_was_successful
         return result
     finally:

@@ -242,3 +242,27 @@ def test_sync_failure_isolated_per_input(tmp_path):
     # good input still synced
     for (rs, _), (os_, _) in zip(_parse_times(ref), _parse_times(good)):
         assert abs(rs - os_) <= 0.02
+
+
+def test_profile_dir_writes_trace(tmp_path):
+    """--profile-dir captures a jax.profiler trace of the sync."""
+    ref = tmp_path / "ref.srt"
+    late = tmp_path / "late.srt"
+    out = tmp_path / "out.srt"
+    ref.write_text(
+        "1\n00:00:05,000 --> 00:00:07,000\nHello.\n\n"
+        "2\n00:00:12,000 --> 00:00:14,000\nWorld.\n"
+    )
+    late.write_text(
+        "1\n00:00:06,000 --> 00:00:08,000\nHello.\n\n"
+        "2\n00:00:13,000 --> 00:00:15,000\nWorld.\n"
+    )
+    prof = tmp_path / "prof"
+    args = make_parser().parse_args(
+        [str(ref), "-i", str(late), "-o", str(out),
+         "--profile-dir", str(prof)]
+    )
+    result = run(args)
+    assert result["sync_was_successful"]
+    traces = list(prof.rglob("*"))
+    assert any(p.is_file() for p in traces), "no profiler output written"
