@@ -113,8 +113,15 @@ def _probs_from_feats(params, feats, n_valid):
     return _net(params, (feats - mean) / (jnp.sqrt(var) + 1e-3))
 
 
-def default_weights_path() -> str:
-    return os.path.join(os.path.dirname(__file__), "weights", WEIGHTS_FILENAME)
+def default_weights_path(rate: Optional[int] = None) -> str:
+    """Weights file for a given *analysis* rate (log-mel layouts differ per
+    rate); the rate-less legacy name is the 48 kHz fallback."""
+    weights_dir = os.path.join(os.path.dirname(__file__), "weights")
+    if rate is not None:
+        rated = os.path.join(weights_dir, "neural_vad_weights_%d.npz" % rate)
+        if os.path.exists(rated):
+            return rated
+    return os.path.join(weights_dir, WEIGHTS_FILENAME)
 
 
 class NeuralVAD:
@@ -141,7 +148,9 @@ class NeuralVAD:
 
     @classmethod
     def load_default(cls, frame_rate: int, sample_rate: int) -> "NeuralVAD":
-        path = default_weights_path()
+        from ffsubsync_tpu.ops.features import analysis_rate
+
+        path = default_weights_path(analysis_rate(frame_rate, sample_rate))
         if os.path.exists(path):
             loaded = np.load(path)
             params = {k: jnp.asarray(loaded[k]) for k in loaded.files}

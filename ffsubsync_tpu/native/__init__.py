@@ -84,6 +84,26 @@ if os.path.exists(_LIB_PATH):
             ctypes.c_int64,
         ]
         _lib.ffs_tokenize.restype = ctypes.c_int64
+        if getattr(_lib, "ffs_decimate2_i16", None) is not None:
+            _lib.ffs_decimate2_i16.argtypes = [
+                ctypes.POINTER(ctypes.c_int16),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int16),
+            ]
+            _lib.ffs_decimate2_i16.restype = ctypes.c_int64
+        for name, elem in (("ffs_mulaw_frame_i8", ctypes.c_int8),
+                           ("ffs_frame_i16", ctypes.c_int16)):
+            fn = getattr(_lib, name, None)
+            if fn is None:  # stale library built from older sources
+                continue
+            fn.argtypes = [
+                ctypes.POINTER(ctypes.c_int16),
+                ctypes.c_int64,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int64,
+                ctypes.POINTER(elem),
+            ]
     except OSError as e:  # pragma: no cover
         logger.warning("failed to load native library: %s", e)
         _lib = None
@@ -138,6 +158,66 @@ def window_energy_db(pcm: np.ndarray, window: int) -> np.ndarray:
     out = np.empty(n_windows, np.float32)
     _lib.ffs_window_energy_db(
         _ptr(pcm, ctypes.c_int16), len(pcm), window, _ptr(out, ctypes.c_float)
+    )
+    return out
+
+
+# 23-tap Q15 half-band decimator taps (offset, coefficient); kept in sync
+# with kHalfband* in native/ffs_native.cpp
+_HALFBAND = ((0, 16418), (1, 10259), (3, -2931), (5, 1266), (7, -521),
+             (9, 178), (11, -76))
+
+
+def decimate2(pcm: np.ndarray) -> np.ndarray:
+    """Half-band decimate int16 PCM by 2 (bit-exact C++/numpy parity)."""
+    pcm = np.ascontiguousarray(pcm, dtype=np.int16)
+    n = len(pcm)
+    n_out = (n + 1) // 2
+    if _lib is not None and getattr(_lib, "ffs_decimate2_i16", None) is not None:
+        out = np.empty(n_out, np.int16)
+        _lib.ffs_decimate2_i16(_ptr(pcm, ctypes.c_int16), n,
+                               _ptr(out, ctypes.c_int16))
+        return out
+    x = pcm.astype(np.int64)
+    centers = np.arange(n_out) * 2
+    acc = _HALFBAND[0][1] * x[centers]
+    for off, tap in _HALFBAND[1:]:
+        lo = centers - off
+        hi = centers + off
+        xlo = np.where(lo >= 0, x[np.maximum(lo, 0)], 0)
+        xhi = np.where(hi < n, x[np.minimum(hi, n - 1)], 0)
+        acc += tap * (xlo + xhi)
+    return np.clip(acc >> 15, -32768, 32767).astype(np.int16)
+
+
+def frame_for_device(
+    pcm: np.ndarray, window: int, wpad: int, t_pad: int, mulaw: bool
+) -> np.ndarray:
+    """Encode (µ-law, optionally) + frame PCM into the ``[t_pad, wpad]``
+    lane-aligned layout the frontend kernel reads, in one native pass."""
+    pcm = np.ascontiguousarray(pcm, dtype=np.int16)
+    native_fn = None
+    if _lib is not None:
+        native_fn = getattr(
+            _lib, "ffs_mulaw_frame_i8" if mulaw else "ffs_frame_i16", None
+        )
+    if native_fn is None:
+        from ffsubsync_tpu.ops.pallas.frontend import mulaw_encode_host
+
+        dtype = np.int8 if mulaw else np.int16
+        flat = np.zeros(t_pad * window, dtype)
+        flat[: len(pcm)] = mulaw_encode_host(pcm) if mulaw else pcm
+        framed = np.zeros((t_pad, wpad), dtype)
+        framed[:, :window] = flat.reshape(t_pad, window)
+        return framed
+    out = np.empty((t_pad, wpad), np.int8 if mulaw else np.int16)
+    native_fn(
+        _ptr(pcm, ctypes.c_int16),
+        len(pcm),
+        window,
+        wpad,
+        t_pad,
+        _ptr(out, ctypes.c_int8 if mulaw else ctypes.c_int16),
     )
     return out
 

@@ -171,6 +171,23 @@ def _frontend_jnp(pcm_i16, mel_fb, band_sel, window):
     return logmel, bands, total
 
 
+def analysis_rate(frame_rate: int, sample_rate: int) -> int:
+    """The audio rate VAD features are actually computed at.
+
+    High decode rates carry no information any feature uses (mel ceiling
+    8 kHz, webrtc bands ≤4 kHz), and the PCM's trip across the host→device
+    link is the pipeline bottleneck — so ≥32 kHz audio is half-band
+    decimated by 2 on the host before staging. The 100 Hz window grid is
+    unchanged (window counts are identical). Disable with
+    ``FFS_TPU_ANALYSIS_DECIMATE=0``.
+    """
+    if os.environ.get("FFS_TPU_ANALYSIS_DECIMATE", "1") == "0":
+        return frame_rate
+    if frame_rate >= 32000 and (frame_rate // 2) % sample_rate == 0:
+        return frame_rate // 2
+    return frame_rate
+
+
 def compute_frontend(
     pcm_i16: np.ndarray, frame_rate: int, sample_rate: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, int]:
@@ -184,31 +201,37 @@ def compute_frontend(
     """
     from ffsubsync_tpu.ops.pallas import frontend as plf
 
-    window = frames_per_window(frame_rate, sample_rate)
     pcm = np.asarray(pcm_i16)
+    rate = analysis_rate(frame_rate, sample_rate)
+    if rate != frame_rate:
+        from ffsubsync_tpu import native
+
+        pcm = native.decimate2(pcm)
+        frame_rate = rate
+    window = frames_per_window(frame_rate, sample_rate)
     n_windows = int(np.ceil(len(pcm) / float(window)))
     t_pad = plf.padded_window_count(max(1, n_windows))
     # wire format: µ-law int8 halves the bytes crossing the host→device link
     # (the end-to-end bottleneck); decode is exact arithmetic on device.
     # FFS_TPU_WIRE=i16 ships raw samples instead (bit-exact features).
-    wire_dtype = (
-        np.int8 if os.environ.get("FFS_TPU_WIRE", "mulaw") == "mulaw" else np.int16
-    )
-    flat = np.zeros(t_pad * window, wire_dtype)
-    if wire_dtype == np.int8:
-        flat[: len(pcm)] = plf.mulaw_encode_host(pcm)
-    else:
-        flat[: len(pcm)] = pcm
+    mulaw = os.environ.get("FFS_TPU_WIRE", "mulaw") == "mulaw"
     if _pallas_enabled():
+        from ffsubsync_tpu import native
+
         mats = _get_frontend_mats(frame_rate, window)
         interpret = os.environ.get("FFS_TPU_PALLAS_INTERPRET") == "1"
-        # lane-aligned [T, wpad] framing on the host (zero pad columns)
-        framed = np.zeros((t_pad, mats.wpad), wire_dtype)
-        framed[:, :window] = flat.reshape(t_pad, window)
+        # one native pass: encode + lane-aligned [T, wpad] framing
+        framed = native.frame_for_device(pcm, window, mats.wpad, t_pad, mulaw)
         logmel, bands, total = plf.fused_frontend(
             jnp.asarray(framed), mats, interpret=interpret
         )
     else:
+        wire_dtype = np.int8 if mulaw else np.int16
+        flat = np.zeros(t_pad * window, wire_dtype)
+        if mulaw:
+            flat[: len(pcm)] = plf.mulaw_encode_host(pcm)
+        else:
+            flat[: len(pcm)] = pcm
         dev = jnp.asarray(flat)
         n_freqs = window // 2 + 1
         key = ("jnp", frame_rate, window)

@@ -127,4 +127,88 @@ int64_t ffs_tokenize(const uint8_t *valid, int64_t n, int64_t min_len,
   return count;
 }
 
+// µ-law (µ=255) encode + lane-aligned framing in one pass.
+//
+// This is the hot host step of the device staging path: every decoded
+// sample is companded to one byte (ffsubsync_tpu.ops.pallas.frontend's wire
+// format) and scattered into the [t_pad, wpad] frame layout the frontend
+// kernel reads, padding columns and tail windows zero-filled. Replaces two
+// full-signal numpy passes (float companding + strided frame copy).
+//
+// The encode uses a 64Ki LUT indexed by the int16 bit pattern, built on
+// first use with round-half-even to match numpy's np.round exactly.
+static int8_t g_mulaw_lut[65536];
+static bool g_mulaw_lut_ready = false;
+
+static void mulaw_lut_init() {
+  const double inv_log1p_mu = 1.0 / std::log1p(255.0);
+  for (int v = -32768; v < 32768; ++v) {
+    double x = static_cast<double>(v) / 32768.0;
+    double mag = x < 0 ? -x : x;
+    double y = std::log1p(255.0 * mag) * inv_log1p_mu;
+    double code = std::nearbyint(y * 127.0);  // half-even, like np.round
+    g_mulaw_lut[static_cast<uint16_t>(v)] =
+        static_cast<int8_t>(x < 0 ? -code : code);
+  }
+  g_mulaw_lut_ready = true;
+}
+
+void ffs_mulaw_frame_i8(const int16_t *in, int64_t n, int window, int wpad,
+                        int64_t t_pad, int8_t *out) {
+  if (!g_mulaw_lut_ready) mulaw_lut_init();
+  std::memset(out, 0, static_cast<size_t>(t_pad) * wpad);
+  int64_t n_windows = (n + window - 1) / window;
+  for (int64_t w = 0; w < n_windows && w < t_pad; ++w) {
+    const int16_t *src = in + w * window;
+    int8_t *dst = out + w * wpad;
+    int64_t lim = n - w * window;
+    int64_t count = lim < window ? lim : window;
+    for (int64_t i = 0; i < count; ++i) {
+      dst[i] = g_mulaw_lut[static_cast<uint16_t>(src[i])];
+    }
+  }
+}
+
+// Decimate-by-2 with a 23-tap half-band FIR (Q15 fixed point).
+//
+// Passband flat to 0.2·fs (9.6 kHz at 48 kHz input — above the 8 kHz mel
+// ceiling), -56 dB at 0.4·fs. Taps are halfband (even offsets zero), DC gain
+// exactly 1.0 in Q15. Edges are zero-padded. The Python fallback
+// (ffsubsync_tpu.native.decimate2) uses the same integer math bit-exactly.
+static const int32_t kHalfbandOff[7] = {0, 1, 3, 5, 7, 9, 11};
+static const int32_t kHalfbandTap[7] = {16418, 10259, -2931, 1266, -521, 178, -76};
+
+int64_t ffs_decimate2_i16(const int16_t *in, int64_t n, int16_t *out) {
+  int64_t n_out = (n + 1) / 2;
+  for (int64_t i = 0; i < n_out; ++i) {
+    int64_t c = 2 * i;
+    int64_t acc = static_cast<int64_t>(kHalfbandTap[0]) * in[c];
+    for (int k = 1; k < 7; ++k) {
+      int64_t lo = c - kHalfbandOff[k];
+      int64_t hi = c + kHalfbandOff[k];
+      int32_t xlo = lo >= 0 ? in[lo] : 0;
+      int32_t xhi = hi < n ? in[hi] : 0;
+      acc += static_cast<int64_t>(kHalfbandTap[k]) * (xlo + xhi);
+    }
+    acc >>= 15;
+    if (acc > 32767) acc = 32767;
+    if (acc < -32768) acc = -32768;
+    out[i] = static_cast<int16_t>(acc);
+  }
+  return n_out;
+}
+
+// Raw int16 framing into the [t_pad, wpad] layout (FFS_TPU_WIRE=i16 path).
+void ffs_frame_i16(const int16_t *in, int64_t n, int window, int wpad,
+                   int64_t t_pad, int16_t *out) {
+  std::memset(out, 0, static_cast<size_t>(t_pad) * wpad * sizeof(int16_t));
+  int64_t n_windows = (n + window - 1) / window;
+  for (int64_t w = 0; w < n_windows && w < t_pad; ++w) {
+    int64_t lim = n - w * window;
+    int64_t count = lim < window ? lim : window;
+    std::memcpy(out + w * wpad, in + w * window,
+                static_cast<size_t>(count) * sizeof(int16_t));
+  }
+}
+
 }  // extern "C"

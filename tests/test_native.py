@@ -62,3 +62,74 @@ def test_fallbacks_work_without_native(monkeypatch):
     assert np.array_equal(out, pcm.astype(np.float32) * 2.0)
     frames = np.array([[2, 4], [10, 20]], np.int16)
     assert np.array_equal(native.mix_to_mono_i16(frames), [3, 15])
+
+
+def test_frame_for_device_matches_numpy_fallback():
+    """C++ encode+frame is bit-exact vs the numpy construction (incl. µ-law
+    round-half-even) and zero-fills pad columns/tail windows."""
+    import numpy as np
+    from ffsubsync_tpu import native
+    from ffsubsync_tpu.ops.pallas.frontend import mulaw_encode_host
+
+    rng = np.random.RandomState(0)
+    pcm = (rng.randn(10_000) * 8000).clip(-32768, 32767).astype(np.int16)
+    window, wpad, t_pad = 80, 128, 256
+    for mulaw in (True, False):
+        got = native.frame_for_device(pcm, window, wpad, t_pad, mulaw)
+        dtype = np.int8 if mulaw else np.int16
+        flat = np.zeros(t_pad * window, dtype)
+        flat[: len(pcm)] = mulaw_encode_host(pcm) if mulaw else pcm
+        want = np.zeros((t_pad, wpad), dtype)
+        want[:, :window] = flat.reshape(t_pad, window)
+        assert np.array_equal(got, want)
+
+
+def test_decimate2_cpp_matches_numpy():
+    """Half-band decimator: C++ and numpy paths are bit-exact; spectral
+    content below the mel ceiling survives."""
+    import numpy as np
+    import ffsubsync_tpu.native as native
+
+    rng = np.random.RandomState(0)
+    pcm = (rng.randn(48_000) * 8000).clip(-32768, 32767).astype(np.int16)
+
+    got = native.decimate2(pcm)
+    assert len(got) == 24_000
+    # force the numpy fallback and compare bit-exactly
+    lib, native._lib = native._lib, None
+    try:
+        want = native.decimate2(pcm)
+    finally:
+        native._lib = lib
+    if lib is not None:
+        assert np.array_equal(got, want)
+
+    # a 1 kHz tone at 48 kHz keeps its amplitude through the decimator
+    t = np.arange(48_000) / 48_000.0
+    tone = (10_000 * np.sin(2 * np.pi * 1000 * t)).astype(np.int16)
+    dec = native.decimate2(tone).astype(np.float64)
+    ratio = dec[100:-100].std() / tone.astype(np.float64)[100:-100].std()
+    assert abs(ratio - 1.0) < 0.02
+
+
+def test_analysis_rate_policy(monkeypatch):
+    from ffsubsync_tpu.ops.features import analysis_rate
+
+    assert analysis_rate(48000, 100) == 24000
+    assert analysis_rate(44100, 100) == 44100  # 22050 not divisible by 100
+    assert analysis_rate(16000, 100) == 16000  # below the threshold
+    assert analysis_rate(8000, 100) == 8000
+    monkeypatch.setenv("FFS_TPU_ANALYSIS_DECIMATE", "0")
+    assert analysis_rate(48000, 100) == 48000
+
+
+def test_compute_frontend_window_count_invariant_under_decimation():
+    """Decimation must not change the 100 Hz window grid."""
+    import numpy as np
+    from ffsubsync_tpu.ops.features import compute_frontend
+
+    rng = np.random.RandomState(1)
+    for n in (480 * 300, 480 * 300 + 1, 480 * 300 + 479):
+        pcm = (rng.randn(n) * 3000).astype(np.int16)
+        *_, nw = compute_frontend(pcm, 48000, 100)
+        assert nw == -(-n // 480)
