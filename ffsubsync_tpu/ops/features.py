@@ -171,21 +171,27 @@ def _frontend_jnp(pcm_i16, mel_fb, band_sel, window):
     return logmel, bands, total
 
 
+_MIN_ANALYSIS_RATE = 12000
+
+
 def analysis_rate(frame_rate: int, sample_rate: int) -> int:
     """The audio rate VAD features are actually computed at.
 
-    High decode rates carry no information any feature uses (mel ceiling
-    8 kHz, webrtc bands ≤4 kHz), and the PCM's trip across the host→device
-    link is the pipeline bottleneck — so ≥32 kHz audio is half-band
-    decimated by 2 on the host before staging. The 100 Hz window grid is
-    unchanged (window counts are identical). Disable with
-    ``FFS_TPU_ANALYSIS_DECIMATE=0``.
+    High decode rates carry no information the detectors use (webrtc bands
+    ≤4 kHz; speech harmonicity/syllabic cues live well below 6 kHz), and the
+    PCM's trip across the host→device link is the pipeline bottleneck — so
+    audio is half-band decimated by 2 on the host (repeatedly) down to
+    ≥12 kHz before staging. At 12 kHz the 10 ms window is 120 samples,
+    padding to exactly one 128-lane group — zero wasted wire bytes. The
+    100 Hz window grid is unchanged (window counts are identical). Disable
+    with ``FFS_TPU_ANALYSIS_DECIMATE=0``.
     """
     if os.environ.get("FFS_TPU_ANALYSIS_DECIMATE", "1") == "0":
         return frame_rate
-    if frame_rate >= 32000 and (frame_rate // 2) % sample_rate == 0:
-        return frame_rate // 2
-    return frame_rate
+    rate = frame_rate
+    while rate // 2 >= _MIN_ANALYSIS_RATE and (rate // 2) % sample_rate == 0:
+        rate //= 2
+    return rate
 
 
 def compute_frontend(
@@ -206,8 +212,9 @@ def compute_frontend(
     if rate != frame_rate:
         from ffsubsync_tpu import native
 
-        pcm = native.decimate2(pcm)
-        frame_rate = rate
+        while frame_rate > rate:
+            pcm = native.decimate2(pcm)
+            frame_rate //= 2
     window = frames_per_window(frame_rate, sample_rate)
     n_windows = int(np.ceil(len(pcm) / float(window)))
     t_pad = plf.padded_window_count(max(1, n_windows))

@@ -115,9 +115,10 @@ def test_decimate2_cpp_matches_numpy():
 def test_analysis_rate_policy(monkeypatch):
     from ffsubsync_tpu.ops.features import analysis_rate
 
-    assert analysis_rate(48000, 100) == 24000
+    assert analysis_rate(48000, 100) == 12000  # /4: zero lane-pad waste
     assert analysis_rate(44100, 100) == 44100  # 22050 not divisible by 100
-    assert analysis_rate(16000, 100) == 16000  # below the threshold
+    assert analysis_rate(32000, 100) == 16000  # /2; /4 would be < 12 kHz
+    assert analysis_rate(16000, 100) == 16000  # 8000 < 12 kHz floor
     assert analysis_rate(8000, 100) == 8000
     monkeypatch.setenv("FFS_TPU_ANALYSIS_DECIMATE", "0")
     assert analysis_rate(48000, 100) == 48000
