@@ -91,6 +91,16 @@ if os.path.exists(_LIB_PATH):
                 ctypes.POINTER(ctypes.c_int16),
             ]
             _lib.ffs_decimate2_i16.restype = ctypes.c_int64
+        if getattr(_lib, "ffs_stage_i8", None) is not None:
+            _lib.ffs_stage_i8.argtypes = [
+                ctypes.POINTER(ctypes.c_int16),
+                ctypes.c_int64,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int8),
+            ]
         for name, elem in (("ffs_mulaw_frame_i8", ctypes.c_int8),
                            ("ffs_frame_i16", ctypes.c_int16)):
             fn = getattr(_lib, name, None)
@@ -188,6 +198,34 @@ def decimate2(pcm: np.ndarray) -> np.ndarray:
         xhi = np.where(hi < n, x[np.minimum(hi, n - 1)], 0)
         acc += tap * (xlo + xhi)
     return np.clip(acc >> 15, -32768, 32767).astype(np.int16)
+
+
+def stage_for_device(
+    pcm: np.ndarray, decim_stages: int, window: int, wpad: int, t_pad: int
+) -> np.ndarray:
+    """Half-band decimate ``decim_stages`` times, µ-law encode, and frame —
+    all in one native pass over the raw PCM (this host is memory-bandwidth
+    bound; separate passes each re-touch hundreds of MB). Bit-exact vs
+    composing :func:`decimate2` then :func:`frame_for_device`."""
+    pcm = np.asarray(pcm)
+    if pcm.dtype != np.int16:
+        pcm = pcm.astype(np.int16)
+    pcm = np.ascontiguousarray(pcm)
+    if _lib is not None and getattr(_lib, "ffs_stage_i8", None) is not None:
+        out = np.empty((t_pad, wpad), np.int8)
+        _lib.ffs_stage_i8(
+            _ptr(pcm, ctypes.c_int16),
+            len(pcm),
+            decim_stages,
+            window,
+            wpad,
+            t_pad,
+            _ptr(out, ctypes.c_int8),
+        )
+        return out
+    for _ in range(decim_stages):
+        pcm = decimate2(pcm)
+    return frame_for_device(pcm, window, wpad, t_pad, mulaw=True)
 
 
 def frame_for_device(

@@ -194,6 +194,42 @@ def analysis_rate(frame_rate: int, sample_rate: int) -> int:
     return rate
 
 
+def prepare_staged_input(
+    pcm_i16: np.ndarray, frame_rate: int, sample_rate: int
+):
+    """Host staging for the device frontend (pallas path): decimate to the
+    analysis rate, wire-encode, and frame lane-aligned — one native pass.
+
+    Returns ``(framed [t_pad, wpad] np, mats, n_windows)``.
+    """
+    from ffsubsync_tpu import native
+    from ffsubsync_tpu.ops.pallas import frontend as plf
+
+    pcm = np.asarray(pcm_i16)
+    rate = analysis_rate(frame_rate, sample_rate)
+    decim_stages = 0
+    while frame_rate > rate:
+        decim_stages += 1
+        frame_rate //= 2
+    window = frames_per_window(frame_rate, sample_rate)
+    n_dec = len(pcm)
+    for _ in range(decim_stages):
+        n_dec = (n_dec + 1) // 2
+    n_windows = int(np.ceil(n_dec / float(window)))
+    t_pad = plf.padded_window_count(max(1, n_windows))
+    mats = _get_frontend_mats(frame_rate, window)
+    mulaw = os.environ.get("FFS_TPU_WIRE", "mulaw") == "mulaw"
+    if mulaw:
+        framed = native.stage_for_device(
+            pcm, decim_stages, window, mats.wpad, t_pad
+        )
+    else:
+        for _ in range(decim_stages):
+            pcm = native.decimate2(pcm)
+        framed = native.frame_for_device(pcm, window, mats.wpad, t_pad, False)
+    return framed, mats, n_windows
+
+
 def compute_frontend(
     pcm_i16: np.ndarray, frame_rate: int, sample_rate: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, int]:
@@ -204,35 +240,33 @@ def compute_frontend(
     window count (slice ``[:n_windows]``; the padding is zero PCM). ``total``
     is in raw int16² scale so ``10·log10(total)`` matches
     :func:`window_energies_db`.
+
+    Wire format: µ-law int8 halves the bytes crossing the host→device link
+    (the end-to-end bottleneck); decode is exact arithmetic on device.
+    ``FFS_TPU_WIRE=i16`` ships raw samples instead (bit-exact features).
     """
     from ffsubsync_tpu.ops.pallas import frontend as plf
 
-    pcm = np.asarray(pcm_i16)
-    rate = analysis_rate(frame_rate, sample_rate)
-    if rate != frame_rate:
-        from ffsubsync_tpu import native
+    from ffsubsync_tpu import native
 
-        while frame_rate > rate:
-            pcm = native.decimate2(pcm)
-            frame_rate //= 2
-    window = frames_per_window(frame_rate, sample_rate)
-    n_windows = int(np.ceil(len(pcm) / float(window)))
-    t_pad = plf.padded_window_count(max(1, n_windows))
-    # wire format: µ-law int8 halves the bytes crossing the host→device link
-    # (the end-to-end bottleneck); decode is exact arithmetic on device.
-    # FFS_TPU_WIRE=i16 ships raw samples instead (bit-exact features).
-    mulaw = os.environ.get("FFS_TPU_WIRE", "mulaw") == "mulaw"
     if _pallas_enabled():
-        from ffsubsync_tpu import native
-
-        mats = _get_frontend_mats(frame_rate, window)
+        framed, mats, n_windows = prepare_staged_input(
+            pcm_i16, frame_rate, sample_rate
+        )
         interpret = os.environ.get("FFS_TPU_PALLAS_INTERPRET") == "1"
-        # one native pass: encode + lane-aligned [T, wpad] framing
-        framed = native.frame_for_device(pcm, window, mats.wpad, t_pad, mulaw)
         logmel, bands, total = plf.fused_frontend(
             jnp.asarray(framed), mats, interpret=interpret
         )
     else:
+        pcm = np.asarray(pcm_i16)
+        rate = analysis_rate(frame_rate, sample_rate)
+        while frame_rate > rate:
+            pcm = native.decimate2(pcm)
+            frame_rate //= 2
+        window = frames_per_window(frame_rate, sample_rate)
+        n_windows = int(np.ceil(len(pcm) / float(window)))
+        t_pad = plf.padded_window_count(max(1, n_windows))
+        mulaw = os.environ.get("FFS_TPU_WIRE", "mulaw") == "mulaw"
         wire_dtype = np.int8 if mulaw else np.int16
         flat = np.zeros(t_pad * window, wire_dtype)
         if mulaw:

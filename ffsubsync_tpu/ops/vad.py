@@ -343,6 +343,67 @@ def make_silero_detector(
     return _detect
 
 
+@partial(
+    jax.jit, static_argnames=("window", "wpad", "strategy", "interpret")
+)
+def _fused_vad_program(
+    framed, dft_mel, dft_plain, mel_fb, band_sel, carry_feats, carry_len,
+    n_valid, ema_in, noise_in, nv_params, non_speech_label,
+    window, wpad, strategy, interpret,
+):
+    """The whole fused-VAD chunk as ONE device program.
+
+    Pallas frontend -> spectral detector -> neural detector -> fusion, plus
+    all carried state updates, compiled together: one host->device dispatch
+    and one result pull per chunk. (Issuing the stages as separate launches
+    costs a full host round trip each — the dominant latency on remote-
+    attached TPU frontends.)
+
+    The neural context is handled statically: ``carry_feats`` is a fixed
+    [CONTEXT, M] buffer whose last ``carry_len`` rows are valid; rows outside
+    the valid window are zeroed *after* normalization, which is exactly the
+    SAME-padding the conv would have seen at a true signal boundary.
+    """
+    from ffsubsync_tpu.models import neural_vad as nv
+    from ffsubsync_tpu.ops.pallas import frontend as plf
+
+    out = plf._frontend_call(
+        framed, dft_mel, dft_plain, mel_fb, band_sel, window, wpad, interpret
+    )
+    logmel = out[:, plf.MEL_OFF : plf.MEL_OFF + plf.N_MELS]
+    bands = out[:, plf.BAND_OFF : plf.BAND_OFF + plf.N_BANDS]
+    speech, ema_out, noise_out = _webrtc_from_bands(
+        bands, n_valid, ema_in, noise_in
+    )
+    webrtc_labels = jnp.where(speech, 1.0, non_speech_label)
+
+    ctx = nv.CONTEXT
+    feats = jnp.concatenate([carry_feats, logmel], axis=0)  # [ctx+T, M]
+    rows = jnp.arange(feats.shape[0])
+    valid_rows = (rows >= ctx - carry_len) & (rows < ctx + n_valid)
+    mask = valid_rows[:, None]
+    denom = jnp.maximum(carry_len + n_valid, 1)
+    mean = jnp.sum(feats * mask, axis=0, keepdims=True) / denom
+    var = jnp.sum(((feats - mean) * mask) ** 2, axis=0, keepdims=True) / denom
+    x = (feats - mean) / (jnp.sqrt(var) + 1e-3)
+    x = jnp.where(mask, x, 0.0)
+    probs = nv._net(nv_params, x)[ctx:]
+    silero_labels = 1.0 - (1.0 - probs) * (1.0 - non_speech_label)
+
+    if strategy == "intersection":
+        fused = jnp.minimum(webrtc_labels, silero_labels)
+    elif strategy == "union":
+        fused = jnp.maximum(webrtc_labels, silero_labels)
+    else:
+        fused = 0.6 * silero_labels + 0.4 * webrtc_labels
+
+    carry_out = jax.lax.dynamic_slice(
+        feats, (n_valid, 0), (ctx, feats.shape[1])
+    )
+    carry_len_out = jnp.minimum(carry_len + n_valid, ctx)
+    return fused, ema_out, noise_out, carry_out, carry_len_out
+
+
 def make_fused_detector(
     sample_rate: int,
     frame_rate: int,
@@ -351,8 +412,11 @@ def make_fused_detector(
 ) -> Callable[[bytes], np.ndarray]:
     """Combine the webrtc-class and neural detectors.
 
-    Both backends consume the SAME fused-frontend pass (one PCM read on
-    device per chunk); only the tiny per-window label math differs.
+    On the device path the entire chunk — frontend, both backends, fusion,
+    state carry — is ONE compiled program and one launch
+    (:func:`_fused_vad_program`). Elsewhere (CPU jnp fallback, or substitute
+    backends without the shared-frontend hook) the stages run separately on
+    one shared frontend pass.
     """
     if fusion_strategy not in _FUSION_STRATEGIES:
         raise ValueError(
@@ -365,11 +429,59 @@ def make_fused_detector(
     webrtc_from = getattr(webrtc_detector, "from_frontend", None)
     silero_from = getattr(silero_detector, "from_frontend", None)
 
+    from ffsubsync_tpu.models.neural_vad import CONTEXT, N_MELS, NeuralVAD
+
+    state = {
+        "ema": jnp.full((6,), jnp.inf, jnp.float32),
+        "noise": jnp.full((6,), jnp.inf, jnp.float32),
+        "carry": jnp.zeros((CONTEXT, N_MELS), jnp.float32),
+        "carry_len": jnp.int32(0),
+        "model": None,
+    }
+
+    def _detect_onelaunch(pcm) -> np.ndarray:
+        from ffsubsync_tpu.ops.features import prepare_staged_input
+        import os
+
+        if state["model"] is None:
+            state["model"] = NeuralVAD.load_default(
+                frame_rate=frame_rate, sample_rate=sample_rate
+            )
+        framed, mats, n_windows = prepare_staged_input(
+            pcm, frame_rate, sample_rate
+        )
+        interpret = os.environ.get("FFS_TPU_PALLAS_INTERPRET") == "1"
+        labels, state["ema"], state["noise"], state["carry"], state[
+            "carry_len"
+        ] = _fused_vad_program(
+            jnp.asarray(framed),
+            mats.dft_mel,
+            mats.dft_plain,
+            mats.mel_fb,
+            mats.band_sel,
+            state["carry"],
+            state["carry_len"],
+            jnp.int32(n_windows),
+            state["ema"],
+            state["noise"],
+            state["model"].params,
+            jnp.float32(non_speech_label),
+            mats.window,
+            mats.wpad,
+            fusion_strategy,
+            interpret,
+        )
+        return np.asarray(labels[:n_windows], dtype=np.float64)
+
     def _detect(chunk) -> np.ndarray:
         if webrtc_from is not None and silero_from is not None:
             pcm = _pcm_bytes_to_i16(chunk)
             if len(pcm) == 0:
                 return np.zeros(0)
+            from ffsubsync_tpu.ops.features import _pallas_enabled
+
+            if _pallas_enabled():
+                return _detect_onelaunch(pcm)
             logmel, bands, _total, n_windows = compute_frontend(
                 pcm, frame_rate, sample_rate
             )

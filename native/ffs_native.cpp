@@ -17,6 +17,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -196,6 +197,84 @@ int64_t ffs_decimate2_i16(const int16_t *in, int64_t n, int16_t *out) {
     out[i] = static_cast<int16_t>(acc);
   }
   return n_out;
+}
+
+// --- fused staging: decimate^k + µ-law + frame in ONE pass over the input.
+//
+// This host has ~300 MB/s effective memory bandwidth and one core; the
+// separate decimate/decimate/encode/frame passes each re-touch hundreds of
+// MB. Here each output window's decimated samples are evaluated on the fly
+// (recursively through the half-band stages, reading the raw PCM once,
+// sequentially) and companded straight into the [t_pad, wpad] frame layout.
+// Bit-exact vs composing ffs_decimate2_i16 k times then ffs_mulaw_frame_i8:
+// intermediate-stage samples outside the materialized range [0, n_s) are
+// forced to zero, matching the pass-by-pass edge semantics.
+
+// Evaluate `count` samples of the stage-`stage` decimated signal starting at
+// `start` into `out` (int32 workspace to avoid re-clipping logic; values are
+// already clipped to int16 range at each stage).
+static void decim_eval(const int16_t *in, int64_t n, int stage, int64_t start,
+                       int64_t count, int32_t *out) {
+  if (stage == 0) {
+    for (int64_t i = 0; i < count; ++i) {
+      int64_t j = start + i;
+      out[i] = (j >= 0 && j < n) ? in[j] : 0;
+    }
+    return;
+  }
+  int64_t n_s = n;
+  for (int s = 0; s < stage; ++s) n_s = (n_s + 1) / 2;
+  int64_t lo = 2 * start - 11;
+  int64_t cnt1 = 2 * count + 22;
+  std::vector<int32_t> tmp(static_cast<size_t>(cnt1));
+  decim_eval(in, n, stage - 1, lo, cnt1, tmp.data());
+  for (int64_t i = 0; i < count; ++i) {
+    int64_t idx = start + i;
+    if (idx < 0 || idx >= n_s) {  // match materialized-range zero semantics
+      out[i] = 0;
+      continue;
+    }
+    int64_t c = 2 * idx - lo;
+    int64_t acc = static_cast<int64_t>(kHalfbandTap[0]) * tmp[c];
+    for (int k = 1; k < 7; ++k) {
+      acc += static_cast<int64_t>(kHalfbandTap[k]) *
+             (static_cast<int64_t>(tmp[c - kHalfbandOff[k]]) +
+              tmp[c + kHalfbandOff[k]]);
+    }
+    acc >>= 15;
+    if (acc > 32767) acc = 32767;
+    if (acc < -32768) acc = -32768;
+    out[i] = static_cast<int32_t>(acc);
+  }
+}
+
+void ffs_stage_i8(const int16_t *in, int64_t n, int decim_stages, int window,
+                  int wpad, int64_t t_pad, int8_t *out) {
+  if (!g_mulaw_lut_ready) mulaw_lut_init();
+  std::memset(out, 0, static_cast<size_t>(t_pad) * wpad);
+  int64_t n_dec = n;
+  for (int s = 0; s < decim_stages; ++s) n_dec = (n_dec + 1) / 2;
+  int64_t n_windows = (n_dec + window - 1) / window;
+  if (n_windows > t_pad) n_windows = t_pad;
+  const int64_t kChunkWindows = 256;  // batch the recursion; amortize allocs
+  std::vector<int32_t> buf(static_cast<size_t>(kChunkWindows * window));
+  for (int64_t w0 = 0; w0 < n_windows; w0 += kChunkWindows) {
+    int64_t wc = n_windows - w0 < kChunkWindows ? n_windows - w0 : kChunkWindows;
+    int64_t start = w0 * window;
+    int64_t lim = n_dec - start;
+    int64_t count = wc * window < lim ? wc * window : lim;
+    decim_eval(in, n, decim_stages, start, count, buf.data());
+    for (int64_t w = 0; w < wc; ++w) {
+      int8_t *dst = out + (w0 + w) * wpad;
+      const int32_t *src = buf.data() + w * window;
+      int64_t rem = count - w * window;
+      int64_t cw = rem < window ? (rem < 0 ? 0 : rem) : window;
+      for (int64_t i = 0; i < cw; ++i) {
+        dst[i] =
+            g_mulaw_lut[static_cast<uint16_t>(static_cast<int16_t>(src[i]))];
+      }
+    }
+  }
 }
 
 // Raw int16 framing into the [t_pad, wpad] layout (FFS_TPU_WIRE=i16 path).

@@ -131,3 +131,46 @@ def test_webrtc_state_carries_across_chunks():
     l2 = detector(full[half:])
     combined = np.concatenate([l1, l2])
     _check_localization(combined, max_false=0.3)
+
+
+def test_fused_onelaunch_matches_split_path(monkeypatch):
+    """The single-program fused VAD (pallas interpret mode) agrees with the
+    split CPU path (shared frontend + separate backend launches)."""
+    import numpy as np
+    import ffsubsync_tpu.ops.vad as vad_mod
+    from ffsubsync_tpu.models.synth_data import speech_signal_for_spans
+
+    frame_rate, sample_rate = 8000, 100
+    spans = [(2.0, 4.0), (7.5, 9.0)]
+    wav = speech_signal_for_spans(12.0, spans, frame_rate, speech_level=0.35)
+    pcm = np.clip(wav * 32767, -32768, 32767).astype(np.int16)
+
+    split = vad_mod.make_fused_detector(sample_rate, frame_rate, 0.0)(pcm)
+    monkeypatch.setenv("FFS_TPU_PALLAS_INTERPRET", "1")
+    one = vad_mod.make_fused_detector(sample_rate, frame_rate, 0.0)(pcm)
+    assert len(one) == len(split)
+    np.testing.assert_allclose(one, split, atol=0.02)
+
+
+def test_fused_onelaunch_chunked_state_carry(monkeypatch):
+    """One-launch fused path: streaming chunks with carried state agree with
+    the one-shot full signal away from chunk seams."""
+    import numpy as np
+    import ffsubsync_tpu.ops.vad as vad_mod
+    from ffsubsync_tpu.models.synth_data import speech_signal_for_spans
+
+    monkeypatch.setenv("FFS_TPU_PALLAS_INTERPRET", "1")
+    frame_rate, sample_rate = 8000, 100
+    spans = [(2.0, 4.0), (7.5, 9.0), (14.0, 16.5)]
+    wav = speech_signal_for_spans(20.0, spans, frame_rate, speech_level=0.35)
+    pcm = np.clip(wav * 32767, -32768, 32767).astype(np.int16)
+
+    full = vad_mod.make_fused_detector(sample_rate, frame_rate, 0.0)(pcm)
+    det = vad_mod.make_fused_detector(sample_rate, frame_rate, 0.0)
+    chunk = frame_rate * 7
+    streamed = np.concatenate(
+        [det(pcm[i : i + chunk]) for i in range(0, len(pcm), chunk)]
+    )
+    assert len(full) == len(streamed)
+    # normalization stats differ per chunk; agreement is behavioral
+    assert (np.abs(full - streamed) > 0.25).mean() < 0.05
