@@ -198,10 +198,20 @@ def make_webrtc_detector(
             np.asarray(speech[:n_windows]), 1.0, non_speech_label
         )
 
+    onelaunch = {"fn": None}
+
     def _detect(chunk) -> np.ndarray:
         pcm = _pcm_bytes_to_i16(chunk)
         if len(pcm) == 0:
             return np.zeros(0)
+        from ffsubsync_tpu.ops.features import _pallas_enabled
+
+        if _pallas_enabled():
+            if onelaunch["fn"] is None:
+                onelaunch["fn"] = _make_onelaunch_detector(
+                    "webrtc", sample_rate, frame_rate, non_speech_label
+                )
+            return onelaunch["fn"](pcm)
         _logmel, bands, _total, n_windows = compute_frontend(
             pcm, frame_rate, sample_rate
         )
@@ -330,10 +340,20 @@ def make_silero_detector(
         probs = model.predict_from_frontend(logmel, n_windows)
         return 1.0 - (1.0 - probs) * (1.0 - non_speech_label)
 
+    onelaunch = {"fn": None}
+
     def _detect(chunk) -> np.ndarray:
         pcm = _pcm_bytes_to_i16(chunk)
         if len(pcm) == 0:
             return np.zeros(0)
+        from ffsubsync_tpu.ops.features import _pallas_enabled
+
+        if _pallas_enabled():
+            if onelaunch["fn"] is None:
+                onelaunch["fn"] = _make_onelaunch_detector(
+                    "silero", sample_rate, frame_rate, non_speech_label
+                )
+            return onelaunch["fn"](pcm)
         logmel, _bands, _total, n_windows = compute_frontend(
             pcm, frame_rate, sample_rate
         )
@@ -343,21 +363,20 @@ def make_silero_detector(
     return _detect
 
 
-@partial(
-    jax.jit, static_argnames=("window", "wpad", "strategy", "interpret")
-)
-def _fused_vad_program(
+@partial(jax.jit, static_argnames=("window", "wpad", "mode", "interpret"))
+def _vad_program(
     framed, dft_mel, dft_plain, mel_fb, band_sel, carry_feats, carry_len,
     n_valid, ema_in, noise_in, nv_params, non_speech_label,
-    window, wpad, strategy, interpret,
+    window, wpad, mode, interpret,
 ):
-    """The whole fused-VAD chunk as ONE device program.
+    """A whole VAD chunk as ONE device program.
 
-    Pallas frontend -> spectral detector -> neural detector -> fusion, plus
-    all carried state updates, compiled together: one host->device dispatch
-    and one result pull per chunk. (Issuing the stages as separate launches
-    costs a full host round trip each — the dominant latency on remote-
-    attached TPU frontends.)
+    Pallas frontend -> detector backend(s) -> labels, plus all carried state
+    updates, compiled together: one host->device dispatch and one result
+    pull per chunk. (Issuing the stages as separate launches costs a full
+    host round trip each — the dominant latency on remote-attached TPU
+    frontends.) ``mode`` picks the labels: "webrtc", "silero", or a fusion
+    strategy; XLA dead-code-eliminates the backend the mode doesn't read.
 
     The neural context is handled statically: ``carry_feats`` is a fixed
     [CONTEXT, M] buffer whose last ``carry_len`` rows are valid; rows outside
@@ -390,46 +409,32 @@ def _fused_vad_program(
     probs = nv._net(nv_params, x)[ctx:]
     silero_labels = 1.0 - (1.0 - probs) * (1.0 - non_speech_label)
 
-    if strategy == "intersection":
-        fused = jnp.minimum(webrtc_labels, silero_labels)
-    elif strategy == "union":
-        fused = jnp.maximum(webrtc_labels, silero_labels)
+    if mode == "webrtc":
+        labels = webrtc_labels
+    elif mode == "silero":
+        labels = silero_labels
+    elif mode == "intersection":
+        labels = jnp.minimum(webrtc_labels, silero_labels)
+    elif mode == "union":
+        labels = jnp.maximum(webrtc_labels, silero_labels)
     else:
-        fused = 0.6 * silero_labels + 0.4 * webrtc_labels
+        labels = 0.6 * silero_labels + 0.4 * webrtc_labels
 
     carry_out = jax.lax.dynamic_slice(
         feats, (n_valid, 0), (ctx, feats.shape[1])
     )
     carry_len_out = jnp.minimum(carry_len + n_valid, ctx)
-    return fused, ema_out, noise_out, carry_out, carry_len_out
+    return labels, ema_out, noise_out, carry_out, carry_len_out
 
 
-def make_fused_detector(
-    sample_rate: int,
-    frame_rate: int,
-    non_speech_label: float,
-    fusion_strategy: str = "weighted",
-) -> Callable[[bytes], np.ndarray]:
-    """Combine the webrtc-class and neural detectors.
-
-    On the device path the entire chunk — frontend, both backends, fusion,
-    state carry — is ONE compiled program and one launch
-    (:func:`_fused_vad_program`). Elsewhere (CPU jnp fallback, or substitute
-    backends without the shared-frontend hook) the stages run separately on
-    one shared frontend pass.
-    """
-    if fusion_strategy not in _FUSION_STRATEGIES:
-        raise ValueError(
-            "unknown fused VAD strategy %r; choose one of %s"
-            % (fusion_strategy, ", ".join(_FUSION_STRATEGIES))
-        )
-    webrtc_detector = make_webrtc_detector(sample_rate, frame_rate, non_speech_label)
-    silero_detector = make_silero_detector(sample_rate, frame_rate, non_speech_label)
-
-    webrtc_from = getattr(webrtc_detector, "from_frontend", None)
-    silero_from = getattr(silero_detector, "from_frontend", None)
+def _make_onelaunch_detector(
+    mode: str, sample_rate: int, frame_rate: int, non_speech_label: float
+) -> Callable[[np.ndarray], np.ndarray]:
+    """Stateful chunk detector built on :func:`_vad_program` (device path)."""
+    import os
 
     from ffsubsync_tpu.models.neural_vad import CONTEXT, N_MELS, NeuralVAD
+    from ffsubsync_tpu.ops.features import prepare_staged_input
 
     state = {
         "ema": jnp.full((6,), jnp.inf, jnp.float32),
@@ -439,10 +444,7 @@ def make_fused_detector(
         "model": None,
     }
 
-    def _detect_onelaunch(pcm) -> np.ndarray:
-        from ffsubsync_tpu.ops.features import prepare_staged_input
-        import os
-
+    def _detect(pcm) -> np.ndarray:
         if state["model"] is None:
             state["model"] = NeuralVAD.load_default(
                 frame_rate=frame_rate, sample_rate=sample_rate
@@ -453,7 +455,7 @@ def make_fused_detector(
         interpret = os.environ.get("FFS_TPU_PALLAS_INTERPRET") == "1"
         labels, state["ema"], state["noise"], state["carry"], state[
             "carry_len"
-        ] = _fused_vad_program(
+        ] = _vad_program(
             jnp.asarray(framed),
             mats.dft_mel,
             mats.dft_plain,
@@ -468,10 +470,40 @@ def make_fused_detector(
             jnp.float32(non_speech_label),
             mats.window,
             mats.wpad,
-            fusion_strategy,
+            mode,
             interpret,
         )
         return np.asarray(labels[:n_windows], dtype=np.float64)
+
+    return _detect
+
+
+def make_fused_detector(
+    sample_rate: int,
+    frame_rate: int,
+    non_speech_label: float,
+    fusion_strategy: str = "weighted",
+) -> Callable[[bytes], np.ndarray]:
+    """Combine the webrtc-class and neural detectors.
+
+    On the device path the entire chunk — frontend, both backends, fusion,
+    state carry — is ONE compiled program and one launch
+    (:func:`_vad_program`). Elsewhere (CPU jnp fallback, or substitute
+    backends without the shared-frontend hook) the stages run separately on
+    one shared frontend pass.
+    """
+    if fusion_strategy not in _FUSION_STRATEGIES:
+        raise ValueError(
+            "unknown fused VAD strategy %r; choose one of %s"
+            % (fusion_strategy, ", ".join(_FUSION_STRATEGIES))
+        )
+    webrtc_detector = make_webrtc_detector(sample_rate, frame_rate, non_speech_label)
+    silero_detector = make_silero_detector(sample_rate, frame_rate, non_speech_label)
+
+    webrtc_from = getattr(webrtc_detector, "from_frontend", None)
+    silero_from = getattr(silero_detector, "from_frontend", None)
+
+    onelaunch = {"fn": None}
 
     def _detect(chunk) -> np.ndarray:
         if webrtc_from is not None and silero_from is not None:
@@ -481,7 +513,12 @@ def make_fused_detector(
             from ffsubsync_tpu.ops.features import _pallas_enabled
 
             if _pallas_enabled():
-                return _detect_onelaunch(pcm)
+                if onelaunch["fn"] is None:
+                    onelaunch["fn"] = _make_onelaunch_detector(
+                        fusion_strategy, sample_rate, frame_rate,
+                        non_speech_label,
+                    )
+                return onelaunch["fn"](pcm)
             logmel, bands, _total, n_windows = compute_frontend(
                 pcm, frame_rate, sample_rate
             )

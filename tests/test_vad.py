@@ -174,3 +174,28 @@ def test_fused_onelaunch_chunked_state_carry(monkeypatch):
     assert len(full) == len(streamed)
     # normalization stats differ per chunk; agreement is behavioral
     assert (np.abs(full - streamed) > 0.25).mean() < 0.05
+
+
+@pytest.mark.parametrize("mode", ["webrtc", "silero"])
+def test_single_backend_onelaunch_matches_split(mode, monkeypatch):
+    """webrtc-only and silero-only detectors agree between the one-launch
+    device program and the split CPU path."""
+    import numpy as np
+    import ffsubsync_tpu.ops.vad as vad_mod
+    from ffsubsync_tpu.models.synth_data import speech_signal_for_spans
+
+    frame_rate, sample_rate = 8000, 100
+    spans = [(2.0, 4.0), (7.5, 9.0)]
+    wav = speech_signal_for_spans(12.0, spans, frame_rate, speech_level=0.35)
+    pcm = np.clip(wav * 32767, -32768, 32767).astype(np.int16)
+
+    factory = (
+        vad_mod.make_webrtc_detector
+        if mode == "webrtc"
+        else vad_mod.make_silero_detector
+    )
+    split = factory(sample_rate, frame_rate, 0.0)(pcm)
+    monkeypatch.setenv("FFS_TPU_PALLAS_INTERPRET", "1")
+    one = factory(sample_rate, frame_rate, 0.0)(pcm)
+    assert len(one) == len(split)
+    np.testing.assert_allclose(one, split, atol=0.02)
