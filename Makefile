@@ -8,6 +8,9 @@ native:
 test:
 	python -m pytest tests/ -q
 
+check:  # full suite incl. the data-driven integration tier (parity: reference Makefile)
+	INTEGRATION=1 python -m pytest tests/ -q
+
 bench:
 	python bench.py
 
