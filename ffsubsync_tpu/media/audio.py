@@ -261,10 +261,14 @@ class VideoSpeechSource:
             self.vad, self.sample_rate, self.frame_rate, self._non_speech_label
         )
         buffered = self._use_buffered_vad(total_duration)
+        max_buffer_bytes = int(
+            os.environ.get("FFS_TPU_MAX_BUFFER_BYTES", 4 * 1024**3)
+        )
         bytes_per_frame = 2
         bytes_per_window = bytes_per_frame * self.frame_rate // self.sample_rate
         media_bstring: List[np.ndarray] = []
         pcm_parts: List[bytes] = []
+        buffered_bytes = 0
         with ProgressReporter(
             total_duration,
             progress_handler=self.progress_handler,
@@ -278,6 +282,19 @@ class VideoSpeechSource:
                 progress.update(newstuff)
                 if buffered:
                     pcm_parts.append(in_bytes)
+                    buffered_bytes += len(in_bytes)
+                    if buffered_bytes > max_buffer_bytes:
+                        # the duration probe lied or failed: spill the buffer
+                        # through the (state-carrying) detector and continue
+                        # streaming at constant memory
+                        logger.info(
+                            "buffered %d bytes, above the cap; "
+                            "switching to streaming VAD",
+                            buffered_bytes,
+                        )
+                        media_bstring.append(detector(b"".join(pcm_parts)))
+                        pcm_parts = []
+                        buffered = False
                 else:
                     media_bstring.append(detector(in_bytes))
         if buffered and pcm_parts:

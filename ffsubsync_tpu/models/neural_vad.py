@@ -110,7 +110,11 @@ def _probs_from_feats(params, feats, n_valid):
     denom = jnp.maximum(n_valid, 1)
     mean = jnp.sum(feats * mask, axis=0, keepdims=True) / denom
     var = jnp.sum(((feats - mean) * mask) ** 2, axis=0, keepdims=True) / denom
-    return _net(params, (feats - mean) / (jnp.sqrt(var) + 1e-3))
+    x = (feats - mean) / (jnp.sqrt(var) + 1e-3)
+    # zero padded rows so the convs see true-boundary zeros (matches the
+    # one-launch program in ops/vad._vad_program exactly)
+    x = jnp.where(mask, x, 0.0)
+    return _net(params, x)
 
 
 def default_weights_path(rate: Optional[int] = None) -> str:

@@ -60,12 +60,14 @@ if os.path.exists(_LIB_PATH):
             ctypes.c_int64,
             ctypes.c_float,
         ]
+        _lib.ffs_pcm_s16_to_f32.restype = None
         _lib.ffs_mix_to_mono_i16.argtypes = [
             ctypes.POINTER(ctypes.c_int16),
             ctypes.c_int64,
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_int16),
         ]
+        _lib.ffs_mix_to_mono_i16.restype = None
         _lib.ffs_window_energy_db.argtypes = [
             ctypes.POINTER(ctypes.c_int16),
             ctypes.c_int64,
@@ -101,6 +103,7 @@ if os.path.exists(_LIB_PATH):
                 ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int8),
             ]
+            _lib.ffs_stage_i8.restype = None
         for name, elem in (("ffs_mulaw_frame_i8", ctypes.c_int8),
                            ("ffs_frame_i16", ctypes.c_int16)):
             fn = getattr(_lib, name, None)
@@ -114,6 +117,7 @@ if os.path.exists(_LIB_PATH):
                 ctypes.c_int64,
                 ctypes.POINTER(elem),
             ]
+            fn.restype = None
     except OSError as e:  # pragma: no cover
         logger.warning("failed to load native library: %s", e)
         _lib = None

@@ -56,6 +56,7 @@ _NOISE_FLOOR_GROWTH = 1.0030  # per 10 ms; floor doubles in ~2.3 s
 _BAND_WEIGHTS = np.array([0.6, 1.0, 1.0, 0.9, 0.7, 0.5], dtype=np.float32)
 _SNR_THRESHOLD_DB = 6.0
 _HANGOVER_WINDOWS = 8
+_N_BANDS = len(_BAND_WEIGHTS)
 
 
 def _pcm_bytes_to_i16(chunk: bytes) -> np.ndarray:
@@ -181,23 +182,10 @@ def _webrtc_from_bands(bands, n_valid, ema_in, noise_in):
     return speech, ema_seq[out_t], jnp.exp(ln_noise[out_t])
 
 
-def make_webrtc_detector(
-    sample_rate: int, frame_rate: int, non_speech_label: float
-) -> Callable[[bytes], np.ndarray]:
-    """WebRTC-class detector: spectral sub-band SNR kernel on device."""
-    state = {
-        "ema": jnp.full((6,), jnp.inf, jnp.float32),
-        "noise": jnp.full((6,), jnp.inf, jnp.float32),
-    }
-
-    def _from_frontend(bands, n_windows: int) -> np.ndarray:
-        speech, state["ema"], state["noise"] = _webrtc_from_bands(
-            bands, jnp.int32(n_windows), state["ema"], state["noise"]
-        )
-        return np.where(
-            np.asarray(speech[:n_windows]), 1.0, non_speech_label
-        )
-
+def _device_dispatch(mode, sample_rate, frame_rate, non_speech_label,
+                     fallback):
+    """Shared chunk dispatch: the one-launch device program when the Pallas
+    path is on, otherwise the split-path ``fallback(pcm)``."""
     onelaunch = {"fn": None}
 
     def _detect(chunk) -> np.ndarray:
@@ -209,14 +197,40 @@ def make_webrtc_detector(
         if _pallas_enabled():
             if onelaunch["fn"] is None:
                 onelaunch["fn"] = _make_onelaunch_detector(
-                    "webrtc", sample_rate, frame_rate, non_speech_label
+                    mode, sample_rate, frame_rate, non_speech_label
                 )
             return onelaunch["fn"](pcm)
+        return fallback(pcm)
+
+    return _detect
+
+
+def make_webrtc_detector(
+    sample_rate: int, frame_rate: int, non_speech_label: float
+) -> Callable[[bytes], np.ndarray]:
+    """WebRTC-class detector: spectral sub-band SNR kernel on device."""
+    state = {
+        "ema": jnp.full((_N_BANDS,), jnp.inf, jnp.float32),
+        "noise": jnp.full((_N_BANDS,), jnp.inf, jnp.float32),
+    }
+
+    def _from_frontend(bands, n_windows: int) -> np.ndarray:
+        speech, state["ema"], state["noise"] = _webrtc_from_bands(
+            bands, jnp.int32(n_windows), state["ema"], state["noise"]
+        )
+        return np.where(
+            np.asarray(speech[:n_windows]), 1.0, non_speech_label
+        )
+
+    def _fallback(pcm) -> np.ndarray:
         _logmel, bands, _total, n_windows = compute_frontend(
             pcm, frame_rate, sample_rate
         )
         return _from_frontend(bands, n_windows)
 
+    _detect = _device_dispatch(
+        "webrtc", sample_rate, frame_rate, non_speech_label, _fallback
+    )
     _detect.from_frontend = _from_frontend
     return _detect
 
@@ -340,25 +354,15 @@ def make_silero_detector(
         probs = model.predict_from_frontend(logmel, n_windows)
         return 1.0 - (1.0 - probs) * (1.0 - non_speech_label)
 
-    onelaunch = {"fn": None}
-
-    def _detect(chunk) -> np.ndarray:
-        pcm = _pcm_bytes_to_i16(chunk)
-        if len(pcm) == 0:
-            return np.zeros(0)
-        from ffsubsync_tpu.ops.features import _pallas_enabled
-
-        if _pallas_enabled():
-            if onelaunch["fn"] is None:
-                onelaunch["fn"] = _make_onelaunch_detector(
-                    "silero", sample_rate, frame_rate, non_speech_label
-                )
-            return onelaunch["fn"](pcm)
+    def _fallback(pcm) -> np.ndarray:
         logmel, _bands, _total, n_windows = compute_frontend(
             pcm, frame_rate, sample_rate
         )
         return _from_frontend(logmel, n_windows)
 
+    _detect = _device_dispatch(
+        "silero", sample_rate, frame_rate, non_speech_label, _fallback
+    )
     _detect.from_frontend = _from_frontend
     return _detect
 
@@ -437,18 +441,28 @@ def _make_onelaunch_detector(
     from ffsubsync_tpu.ops.features import prepare_staged_input
 
     state = {
-        "ema": jnp.full((6,), jnp.inf, jnp.float32),
-        "noise": jnp.full((6,), jnp.inf, jnp.float32),
+        "ema": jnp.full((_N_BANDS,), jnp.inf, jnp.float32),
+        "noise": jnp.full((_N_BANDS,), jnp.inf, jnp.float32),
         "carry": jnp.zeros((CONTEXT, N_MELS), jnp.float32),
         "carry_len": jnp.int32(0),
-        "model": None,
+        "params": None,
     }
 
     def _detect(pcm) -> np.ndarray:
-        if state["model"] is None:
-            state["model"] = NeuralVAD.load_default(
-                frame_rate=frame_rate, sample_rate=sample_rate
-            )
+        if state["params"] is None:
+            if mode == "webrtc":
+                # the silero branch is dead code under this mode; zero
+                # params of the right shapes keep tracing happy without
+                # loading (or warning about) neural weights
+                from ffsubsync_tpu.models.neural_vad import init_params
+
+                state["params"] = jax.tree_util.tree_map(
+                    jnp.zeros_like, init_params(jax.random.PRNGKey(0))
+                )
+            else:
+                state["params"] = NeuralVAD.load_default(
+                    frame_rate=frame_rate, sample_rate=sample_rate
+                ).params
         framed, mats, n_windows = prepare_staged_input(
             pcm, frame_rate, sample_rate
         )
@@ -466,7 +480,7 @@ def _make_onelaunch_detector(
             jnp.int32(n_windows),
             state["ema"],
             state["noise"],
-            state["model"].params,
+            state["params"],
             jnp.float32(non_speech_label),
             mats.window,
             mats.wpad,
@@ -503,30 +517,7 @@ def make_fused_detector(
     webrtc_from = getattr(webrtc_detector, "from_frontend", None)
     silero_from = getattr(silero_detector, "from_frontend", None)
 
-    onelaunch = {"fn": None}
-
-    def _detect(chunk) -> np.ndarray:
-        if webrtc_from is not None and silero_from is not None:
-            pcm = _pcm_bytes_to_i16(chunk)
-            if len(pcm) == 0:
-                return np.zeros(0)
-            from ffsubsync_tpu.ops.features import _pallas_enabled
-
-            if _pallas_enabled():
-                if onelaunch["fn"] is None:
-                    onelaunch["fn"] = _make_onelaunch_detector(
-                        fusion_strategy, sample_rate, frame_rate,
-                        non_speech_label,
-                    )
-                return onelaunch["fn"](pcm)
-            logmel, bands, _total, n_windows = compute_frontend(
-                pcm, frame_rate, sample_rate
-            )
-            webrtc_result = webrtc_from(bands, n_windows)
-            silero_result = silero_from(logmel, n_windows)
-        else:  # substitute backends without the shared-frontend hook
-            webrtc_result = webrtc_detector(chunk)
-            silero_result = silero_detector(chunk)
+    def _fuse(webrtc_result, silero_result) -> np.ndarray:
         # detectors can disagree by a frame at the tail; clip to common length
         min_len = min(len(webrtc_result), len(silero_result))
         webrtc_result = webrtc_result[:min_len]
@@ -537,7 +528,19 @@ def make_fused_detector(
             return np.maximum(webrtc_result, silero_result)
         return 0.6 * silero_result + 0.4 * webrtc_result
 
-    return _detect
+    if webrtc_from is None or silero_from is None:
+        # substitute backends without the shared-frontend hook
+        return lambda chunk: _fuse(webrtc_detector(chunk), silero_detector(chunk))
+
+    def _fallback(pcm) -> np.ndarray:
+        logmel, bands, _total, n_windows = compute_frontend(
+            pcm, frame_rate, sample_rate
+        )
+        return _fuse(webrtc_from(bands, n_windows), silero_from(logmel, n_windows))
+
+    return _device_dispatch(
+        fusion_strategy, sample_rate, frame_rate, non_speech_label, _fallback
+    )
 
 
 def make_detector(

@@ -24,15 +24,10 @@ def log(*a):
 
 def warm(minutes: float) -> None:
     import numpy as np
-    import jax
-    import jax.numpy as jnp
 
     from ffsubsync_tpu.constants import FRAMERATE_RATIOS, SAMPLE_RATE
     from ffsubsync_tpu.ops.align import align_candidates
-    from ffsubsync_tpu.ops.features import compute_frontend
-    from ffsubsync_tpu.ops.vad import _webrtc_from_bands
-    from ffsubsync_tpu.models.neural_vad import NeuralVAD, _probs_from_feats
-    from ffsubsync_tpu.ops.pallas.frontend import padded_window_count
+    from ffsubsync_tpu.ops.vad import make_detector
     from ffsubsync_tpu.subs.raster import RasterSpec
 
     frame_rate = 48000
@@ -41,25 +36,12 @@ def warm(minutes: float) -> None:
     rng = np.random.RandomState(0)
     pcm = (rng.randn(n_windows * window) * 2000).astype(np.int16)
 
-    t0 = time.perf_counter()
-    logmel, bands, total, nw = compute_frontend(pcm, frame_rate, SAMPLE_RATE)
-    jax.block_until_ready(bands)
-    log("  frontend: %.1f s" % (time.perf_counter() - t0))
-
-    t0 = time.perf_counter()
-    ema0 = jnp.full((6,), jnp.inf, jnp.float32)
-    noise0 = jnp.full((6,), jnp.inf, jnp.float32)
-    jax.block_until_ready(
-        _webrtc_from_bands(bands, jnp.int32(nw), ema0, noise0)
-    )
-    log("  webrtc: %.1f s" % (time.perf_counter() - t0))
-
-    t0 = time.perf_counter()
-    model = NeuralVAD.load_default(frame_rate=frame_rate, sample_rate=SAMPLE_RATE)
-    t_pad = padded_window_count(nw)
-    feats = jnp.pad(logmel[:nw], ((0, t_pad - nw), (0, 0)))
-    jax.block_until_ready(_probs_from_feats(model.params, feats, jnp.int32(nw)))
-    log("  neural: %.1f s" % (time.perf_counter() - t0))
+    # warm the REAL production programs: each --vad mode's detector is one
+    # compiled device program per bucketed shape
+    for vad in ("fused", "webrtc", "silero", "auditok"):
+        t0 = time.perf_counter()
+        make_detector(vad, SAMPLE_RATE, frame_rate, 0.0)(pcm)
+        log("  vad %s: %.1f s" % (vad, time.perf_counter() - t0))
 
     t0 = time.perf_counter()
     signal = (rng.rand(nw) > 0.8).astype(np.float64)

@@ -107,7 +107,12 @@ def main() -> int:
     acc = correct / total
     print("held-out window accuracy: %.3f" % acc)
 
-    out = args.out or neural_vad.default_weights_path()
+    # save rate-suffixed: the loader prefers neural_vad_weights_<rate>.npz
+    # for the matching analysis rate, so a rate-less path would be shadowed
+    out = args.out or os.path.join(
+        os.path.dirname(neural_vad.default_weights_path()),
+        "neural_vad_weights_%d.npz" % args.frame_rate,
+    )
     os.makedirs(os.path.dirname(out), exist_ok=True)
     np.savez_compressed(out, **{k: np.asarray(v) for k, v in params.items()})
     print("wrote", out)

@@ -10,6 +10,12 @@ setup(
     description=DESCRIPTION,
     long_description=LONG_DESCRIPTION,
     packages=find_packages(exclude=("tests", "tests.*")),
+    package_data={
+        # trained neural-VAD weights ship with the package (one file per
+        # analysis rate); without these --vad silero/fused degrades to a
+        # random-init net with only a log warning
+        "ffsubsync_tpu": ["models/weights/*.npz"],
+    },
     python_requires=">=3.9",
     install_requires=[
         "jax",
@@ -26,6 +32,7 @@ setup(
             "ffs=ffsubsync_tpu.sync:main",
             "subsync=ffsubsync_tpu.sync:main",
             "ffsubsync=ffsubsync_tpu.sync:main",
+            "ffs-tpu=ffsubsync_tpu.sync:main",  # Docker/docs entry name
         ],
     },
     zip_safe=False,

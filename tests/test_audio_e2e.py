@@ -126,3 +126,35 @@ def test_progress_handler_exceptions_swallowed(tmp_path):
 
     result = run(args, progress_handler=bad_handler)
     assert result["sync_was_successful"]
+
+
+def test_buffered_vad_spills_to_streaming_when_cap_exceeded(
+    tmp_path, monkeypatch
+):
+    """With an unknown/lying duration, the buffered path must spill through
+    the state-carrying detector once the cap is hit and keep constant memory,
+    still producing a full-length signal."""
+    import numpy as np
+    from ffsubsync_tpu.media.audio import VideoSpeechSource
+    from ffsubsync_tpu.models.synth_data import speech_signal_for_spans
+    from tests.helpers import write_wav
+
+    frame_rate = 16000
+    spans = [(2.0, 4.0), (8.0, 10.0), (14.0, 16.0)]
+    wav_path = tmp_path / "ref.wav"
+    write_wav(
+        str(wav_path),
+        speech_signal_for_spans(20.0, spans, frame_rate, speech_level=0.4),
+        frame_rate,
+    )
+    # cap far below the file size; chunks are ~100 s so force tiny buffers
+    monkeypatch.setenv("FFS_TPU_MAX_BUFFER_BYTES", str(frame_rate * 2 * 5))
+    src = VideoSpeechSource(
+        vad="webrtc", sample_rate=100, frame_rate=frame_rate,
+        non_speech_label=0.0,
+    )
+    src.fit(str(wav_path))
+    signal = src.transform()
+    assert len(signal) == 20 * 100
+    for s, e in spans:
+        assert signal[int(s * 100) + 20 : int(e * 100) - 20].mean() > 0.4
