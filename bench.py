@@ -47,7 +47,14 @@ def main() -> int:
 
     minutes = float(os.environ.get("BENCH_MINUTES", "90"))
     vad_name = os.environ.get("BENCH_VAD", "fused")
-    frame_rate = 48000
+    # production asks ffmpeg to decode straight to the analysis rate
+    # (media/audio.VideoSpeechSource._decode_rate); the synthetic PCM starts
+    # from what the decoder would deliver under the default flags
+    from ffsubsync_tpu.ops.features import analysis_rate
+
+    frame_rate = int(os.environ.get(
+        "BENCH_FRAME_RATE", analysis_rate(48000, SAMPLE_RATE)
+    ))
     duration = minutes * 60.0
     true_offset = 7.34  # seconds the subtitles fire early
     log("device:", jax.devices()[0])

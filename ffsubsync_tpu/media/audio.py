@@ -85,6 +85,20 @@ class VideoSpeechSource:
 
     # -- ffmpeg decode ----------------------------------------------------
 
+    def _decode_rate(self) -> int:
+        """The sample rate ffmpeg is asked to deliver.
+
+        ``--frame-rate`` names the requested decode rate (reference
+        semantics), but VAD features are computed at the derived *analysis*
+        rate (ops/features.analysis_rate) — so the decoder is asked for that
+        rate directly: ffmpeg's resampler is higher quality than any host
+        decimator, the decode is cheaper, and 4× fewer PCM bytes cross the
+        pipe and the host→device link.
+        """
+        from ffsubsync_tpu.ops.features import analysis_rate
+
+        return analysis_rate(self.frame_rate, self.sample_rate)
+
     def _build_ffmpeg_args(self, fname: str) -> List[str]:
         ffmpeg_args = [
             ffmpeg_bin_path("ffmpeg", self.gui_mode, ffmpeg_resources_path=self.ffmpeg_path)
@@ -109,7 +123,7 @@ class VideoSpeechSource:
                 "-af",
                 "aresample=async=1",
                 "-ar",
-                str(self.frame_rate),
+                str(self._decode_rate()),
                 "-",
             ]
         )
@@ -184,15 +198,28 @@ class VideoSpeechSource:
                     logger.warning("failed to remove temp audio file %s", temp_audio)
         return self
 
-    def _iter_pcm_chunks(self, fname: str, bytes_per_buffer: int):
-        """Yield raw PCM chunks: ffmpeg pipe normally, in-process for WAV."""
-        use_native_wav = (
+    def _use_native_wav(self, fname: str) -> bool:
+        return (
             not is_remote_url(fname)
             and os.path.exists(fname)
             and is_wav_file(fname)
             and os.environ.get("FFS_TPU_DISABLE_NATIVE_WAV") != "1"
         )
-        if use_native_wav:
+
+    def _pcm_rate(self, fname: str) -> int:
+        """Rate of the PCM this source stages for detection.
+
+        ffmpeg decodes straight to the analysis rate; the native WAV reader
+        keeps ``frame_rate`` (its linear resampler must not downsample — the
+        proper half-band decimation happens in the device staging path).
+        """
+        if self._use_native_wav(fname):
+            return self.frame_rate
+        return self._decode_rate()
+
+    def _iter_pcm_chunks(self, fname: str, bytes_per_buffer: int):
+        """Yield raw PCM chunks: ffmpeg pipe normally, in-process for WAV."""
+        if self._use_native_wav(fname):
             logger.info("decoding WAV natively (no ffmpeg subprocess)")
             reader = WavReader(fname)
             for chunk in reader.iter_chunks(
@@ -231,7 +258,9 @@ class VideoSpeechSource:
             logger.warning(e)
             return None
 
-    def _use_buffered_vad(self, total_duration: Optional[float]) -> bool:
+    def _use_buffered_vad(
+        self, total_duration: Optional[float], pcm_rate: Optional[int] = None
+    ) -> bool:
         """Buffered mode holds the whole PCM and runs VAD in one device pass
         (a handful of launches for a movie); streaming mode keeps the
         reference's constant-memory chunk loop. Decode dominates wall-clock
@@ -243,7 +272,7 @@ class VideoSpeechSource:
             os.environ.get("FFS_TPU_MAX_BUFFER_BYTES", 4 * 1024**3)
         )
         if total_duration is not None:
-            estimated = int(total_duration) * 2 * self.frame_rate
+            estimated = int(total_duration) * 2 * (pcm_rate or self.frame_rate)
             if estimated > max_bytes:
                 logger.info(
                     "reference too long to buffer (%d bytes est.); "
@@ -257,15 +286,16 @@ class VideoSpeechSource:
         total_duration = self._probe_total_duration(fname)
         if self.max_duration_seconds is not None and total_duration is not None:
             total_duration = min(total_duration, self.max_duration_seconds)
+        pcm_rate = self._pcm_rate(fname)
         detector = make_detector(
-            self.vad, self.sample_rate, self.frame_rate, self._non_speech_label
+            self.vad, self.sample_rate, pcm_rate, self._non_speech_label
         )
-        buffered = self._use_buffered_vad(total_duration)
+        buffered = self._use_buffered_vad(total_duration, pcm_rate)
         max_buffer_bytes = int(
             os.environ.get("FFS_TPU_MAX_BUFFER_BYTES", 4 * 1024**3)
         )
         bytes_per_frame = 2
-        bytes_per_window = bytes_per_frame * self.frame_rate // self.sample_rate
+        bytes_per_window = bytes_per_frame * pcm_rate // self.sample_rate
         media_bstring: List[np.ndarray] = []
         pcm_parts: List[bytes] = []
         buffered_bytes = 0
@@ -278,7 +308,7 @@ class VideoSpeechSource:
             for in_bytes in self._iter_pcm_chunks(
                 fname, bytes_per_window * WINDOWS_PER_BUFFER
             ):
-                newstuff = len(in_bytes) / float(bytes_per_frame) / self.frame_rate
+                newstuff = len(in_bytes) / float(bytes_per_frame) / pcm_rate
                 progress.update(newstuff)
                 if buffered:
                     pcm_parts.append(in_bytes)

@@ -66,7 +66,8 @@ def test_ffmpeg_args_basic():
     assert args[-1] == "-"
     assert "-ss" not in args and "-t" not in args
     i = args.index("-ar")
-    assert args[i + 1] == "48000"
+    # ffmpeg is asked for the derived analysis rate directly (48000 -> 12000)
+    assert args[i + 1] == "12000"
     assert "aresample=async=1" in args
 
 
