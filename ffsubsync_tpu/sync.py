@@ -9,9 +9,10 @@ plumbing (:62-101, :603-615).
 
 The compute differs: instead of fitting candidate-ratio pipelines serially and
 FFT-aligning each on the CPU, all candidate cue geometries are shipped to the
-TPU and scored in **one** batched launch (see ops/align.py); the golden-section
-refinement drives small device launches per probe. Exception-shaped fallback
-logic stays on the host, outside jitted code.
+TPU and scored in **one** batched launch (see ops/align.py); `--gss` becomes
+three rounds of batched grid refinement (33 ratios per launch) instead of ~21
+serial golden-section probes. Exception-shaped fallback logic stays on the
+host, outside jitted code.
 """
 import argparse
 import logging
@@ -34,7 +35,6 @@ from ffsubsync_tpu.constants import (
     is_remote_url,
 )
 from ffsubsync_tpu.media.ffmpeg import ffmpeg_bin_path
-from ffsubsync_tpu.ops import gss as gss_mod
 from ffsubsync_tpu.ops.align import (
     Alignment,
     FailedToFindAlignmentException,
@@ -176,38 +176,50 @@ def assess_alignment_quality(
     return reasons
 
 
+GSS_TOL = 1e-4  # same tolerance as the reference (golden_section_search.py:15)
+_GSS_GRID_K = 33  # ratios scored per refinement round (one device launch)
+
+
 def _run_gss_search(
     ref_sig: Any,
     source_maker: Callable[[Optional[float]], Any],
     srtin: Optional[str],
     max_offset_samples: Optional[int],
 ) -> List[Tuple[Alignment, SubtitleSpeechSource]]:
-    """Golden-section refinement of the framerate ratio.
+    """Batched grid refinement of the framerate ratio (device-sized gss).
 
-    Each probe rasterizes + aligns one candidate on device (a cached small
-    launch); scores recorded only on last-iteration probes enter the final
-    selection, matching MaxScoreAligner.fit_gss (aligners.py:111-129).
+    The reference golden-sections with ~21 *serial* pipeline re-fits
+    (aligners.py:111-129, golden_section_search.py:15-74). Here each round
+    scores a whole ratio grid in ONE batched device launch and narrows the
+    bracket around the argmax, reaching the same 1e-4 localization in 3
+    launches — fewer round trips AND robust to non-unimodal score surfaces
+    where golden-section can converge to a local optimum. The best candidate
+    of the final round enters the cross-candidate selection, playing the
+    role of fit_gss's recorded last-iteration scores.
     """
-    recorded: List[Tuple[Alignment, SubtitleSpeechSource]] = []
-
-    def opt_func(framerate_ratio: float, is_last_iter: bool) -> float:
-        source = source_maker(framerate_ratio)
-        source.fit(srtin)
-        [alignment] = align_candidates(
-            ref_sig, [source.spec_], max_offset_samples=max_offset_samples
+    lo, hi = MIN_FRAMERATE_RATIO, MAX_FRAMERATE_RATIO
+    while True:
+        step = (hi - lo) / (_GSS_GRID_K - 1)
+        ratios = [lo + i * step for i in range(_GSS_GRID_K)]
+        sources = [source_maker(r).fit(srtin) for r in ratios]
+        alignments = align_candidates(
+            ref_sig,
+            [s.spec_ for s in sources],
+            max_offset_samples=max_offset_samples,
         )
+        best_i = int(np.argmax([a.score for a in alignments]))
         logger.info(
-            "got score %.0f (offset %d) for ratio %.3f",
-            alignment.score,
-            alignment.offset,
-            framerate_ratio,
+            "gss grid [%.5f, %.5f]: best ratio %.5f (score %.0f, offset %d)",
+            lo,
+            hi,
+            ratios[best_i],
+            alignments[best_i].score,
+            alignments[best_i].offset,
         )
-        if is_last_iter:
-            recorded.append((alignment, source))
-        return -alignment.score
-
-    gss_mod.gss(opt_func, MIN_FRAMERATE_RATIO, MAX_FRAMERATE_RATIO)
-    return recorded
+        if step <= GSS_TOL:
+            return [(alignments[best_i], sources[best_i])]
+        lo = max(MIN_FRAMERATE_RATIO, ratios[best_i] - step)
+        hi = min(MAX_FRAMERATE_RATIO, ratios[best_i] + step)
 
 
 def try_sync(
