@@ -14,6 +14,12 @@ check:  # full suite incl. the data-driven integration tier (parity: reference M
 bench:
 	python bench.py
 
+bench-batch:
+	python scripts/bench_batch.py
+
+precompile:
+	python scripts/precompile.py 90
+
 clean:
 	$(MAKE) -C native clean
 	rm -rf build dist *.egg-info

@@ -77,9 +77,19 @@ def synth_speech(rng, samples: int, frame_rate: int) -> Tuple[np.ndarray, np.nda
     return (voiced * envelope).astype(np.float32), active
 
 
+def _reverb(rng, x: np.ndarray, frame_rate: int) -> np.ndarray:
+    """Cheap room: a few decaying echo taps."""
+    out = x.copy()
+    for _ in range(rng.randint(2, 5)):
+        delay = int(rng.uniform(0.01, 0.08) * frame_rate)
+        gain = rng.uniform(0.1, 0.4)
+        out[delay:] += gain * x[: len(x) - delay]
+    return out
+
+
 def synth_nonspeech(rng, samples: int, frame_rate: int) -> np.ndarray:
     t = np.arange(samples) / frame_rate
-    mode = rng.randint(3)
+    mode = rng.randint(4)
     x = np.zeros(samples, np.float32)
     if mode == 0:
         pass  # noise floor only (added by caller)
@@ -89,7 +99,7 @@ def synth_nonspeech(rng, samples: int, frame_rate: int) -> np.ndarray:
             x += (10 ** rng.uniform(-1.5, -0.5)) * np.sin(
                 2 * np.pi * f * t + rng.uniform(0, 6.28)
             ).astype(np.float32)
-    else:  # music-like sustained harmonic chords
+    elif mode == 2:  # music-like sustained harmonic chords
         seg = samples // 4
         for s in range(4):
             base = rng.choice([110, 147, 196, 262])
@@ -98,6 +108,17 @@ def synth_nonspeech(rng, samples: int, frame_rate: int) -> np.ndarray:
                     10 ** rng.uniform(-1.8, -0.8) / h
                     * np.sin(2 * np.pi * base * h * t[:seg])
                 ).astype(np.float32)
+    else:  # vocal-like sustained notes: vibrato + slow swells, NO syllabic AM
+        f0 = rng.uniform(150, 500)
+        vib = 1.0 + 0.01 * np.sin(2 * np.pi * rng.uniform(4, 7) * t)
+        swell = 0.6 + 0.4 * np.sin(
+            2 * np.pi * rng.uniform(0.1, 0.7) * t + rng.uniform(0, 6.28)
+        )
+        for h in range(1, 6):
+            x += (10 ** rng.uniform(-1.5, -0.7) / h) * np.sin(
+                2 * np.pi * f0 * h * t * vib + rng.uniform(0, 6.28)
+            ).astype(np.float32)
+        x *= swell.astype(np.float32)
     return x
 
 
@@ -119,6 +140,12 @@ def synth_batch(
         x = rng.randn(samples).astype(np.float32) * noise_level
         if rng.rand() < 0.5:
             speech, active = synth_speech(rng, samples, frame_rate)
+            if rng.rand() < 0.35:  # dialogue over a background score
+                x += 10 ** rng.uniform(-1.0, -0.3) * synth_nonspeech(
+                    rng, samples, frame_rate
+                )
+            if rng.rand() < 0.3:  # roomy dialogue
+                speech = _reverb(rng, speech, frame_rate)
             x += speech
             win_act = active[: n_windows * window].reshape(n_windows, window)
             labels[i] = (win_act.mean(axis=1) > 0.5).astype(np.float32)
