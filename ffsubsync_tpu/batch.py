@@ -1,0 +1,242 @@
+# -*- coding: utf-8 -*-
+"""Batch sync: many (reference, subtitles) jobs, one sharded device search.
+
+The reference processes files strictly one at a time; this is the TPU-native
+scale-out surface (no reference equivalent). Speech extraction runs per job
+(I/O-bound decode overlapped by a thread pool, VAD as the usual one-launch
+device program), then EVERY job's candidate-ratio search is scored in a
+single `parallel.batch.BatchAligner` launch sharded over the device mesh —
+each sync is independent, so the only cross-chip traffic is the result
+gather riding ICI.
+
+Library surface::
+
+    from ffsubsync_tpu.batch import sync_batch
+    results = sync_batch([(ref1, in1, out1), (ref2, in2, out2), ...])
+
+CLI (``ffs-tpu-batch``)::
+
+    ffs-tpu-batch manifest.tsv        # lines: reference<TAB>srtin<TAB>srtout
+    ffs-tpu-batch --vad fused manifest.tsv
+
+Batch mode supports the discrete framerate-ratio grid and the
+duration-inferred ratio; per-job golden-section refinement is a
+single-file feature (run `ffs` on the stragglers it flags).
+"""
+import argparse
+import concurrent.futures
+import logging
+import sys
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ffsubsync_tpu.constants import (
+    DEFAULT_FRAME_RATE,
+    DEFAULT_MAX_OFFSET_SECONDS,
+    DEFAULT_NON_SPEECH_LABEL,
+    DEFAULT_VAD,
+    FRAMERATE_RATIOS,
+    SAMPLE_RATE,
+    SUBTITLE_EXTENSIONS,
+)
+from ffsubsync_tpu.subs.transforms import shift_document
+
+logger = logging.getLogger(__name__)
+
+
+def _make_ref_source(reference: str, vad: str, frame_rate: int) -> Any:
+    """Reference dispatch, mirroring sync.make_reference_extractor's order
+    for the formats batch mode supports (subtitles / npz / video-audio)."""
+    ref_format = reference[-3:]
+    if ref_format in SUBTITLE_EXTENSIONS:
+        from ffsubsync_tpu.speech import SubtitleSpeechSource
+
+        return SubtitleSpeechSource(fmt=ref_format)
+    if ref_format in ("npy", "npz"):
+        from ffsubsync_tpu.speech import DeserializeSpeechSource
+
+        return DeserializeSpeechSource(DEFAULT_NON_SPEECH_LABEL)
+    from ffsubsync_tpu.media.audio import VideoSpeechSource
+
+    return VideoSpeechSource(
+        vad=vad,
+        sample_rate=SAMPLE_RATE,
+        frame_rate=frame_rate,
+        non_speech_label=DEFAULT_NON_SPEECH_LABEL,
+    )
+
+
+def sync_batch(
+    jobs: Sequence[Tuple[str, str, Optional[str]]],
+    vad: str = DEFAULT_VAD,
+    frame_rate: int = DEFAULT_FRAME_RATE,
+    max_offset_seconds: float = DEFAULT_MAX_OFFSET_SECONDS,
+    no_fix_framerate: bool = False,
+    decode_workers: int = 4,
+    mesh: Any = None,
+) -> List[Dict[str, Any]]:
+    """Sync every ``(reference, srtin, srtout)`` job; one sharded search.
+
+    Returns one result dict per job:
+    ``{reference, srtin, srtout, offset_seconds, framerate_scale_factor,
+    sync_was_successful, error}``.
+    """
+    from ffsubsync_tpu.parallel.batch import BatchAligner
+    from ffsubsync_tpu.speech import make_subtitle_speech_source
+    from ffsubsync_tpu.utils.xla_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    results: List[Dict[str, Any]] = [
+        {
+            "reference": r,
+            "srtin": s,
+            "srtout": o,
+            "offset_seconds": None,
+            "framerate_scale_factor": None,
+            "sync_was_successful": False,
+            "error": None,
+        }
+        for r, s, o in jobs
+    ]
+
+    # --- speech extraction (decode is I/O-bound; VAD is one device launch) --
+    def _extract(idx: int):
+        reference = jobs[idx][0]
+        source = _make_ref_source(reference, vad, frame_rate)
+        source.fit(reference)
+        return source
+
+    ref_sources: List[Optional[Any]] = [None] * len(jobs)
+    with concurrent.futures.ThreadPoolExecutor(
+        max_workers=max(1, decode_workers)
+    ) as pool:
+        futures = {pool.submit(_extract, i): i for i in range(len(jobs))}
+        for fut in concurrent.futures.as_completed(futures):
+            i = futures[fut]
+            try:
+                ref_sources[i] = fut.result()
+            except Exception as e:  # job-level isolation, as in try_sync
+                logger.exception("failed to extract reference for job %d", i)
+                results[i]["error"] = str(e)
+
+    # --- candidate construction -------------------------------------------
+    ratios = [1.0]
+    if not no_fix_framerate:
+        ratios += list(FRAMERATE_RATIOS) + [1.0 / r for r in FRAMERATE_RATIOS]
+    refs: List[np.ndarray] = []
+    cands: List[List[Any]] = []
+    sources_per_job: List[List[Any]] = []
+    live: List[int] = []
+    for i, (reference, srtin, _srtout) in enumerate(jobs):
+        if ref_sources[i] is None:
+            continue
+        try:
+            job_ratios = list(ratios)
+            maker = lambda r: make_subtitle_speech_source(r).fit(srtin)  # noqa: E731
+            sub_sources = [maker(r) for r in job_ratios]
+            ref_nf = getattr(ref_sources[i], "num_frames", None)
+            if ref_nf is not None and sub_sources[0].num_frames:
+                inferred = float(ref_nf) / sub_sources[0].num_frames
+                job_ratios.append(inferred)
+                sub_sources.append(maker(inferred))
+            sig = ref_sources[i].transform()
+            refs.append(np.asarray(sig, np.float32))
+            cands.append([s.spec_ for s in sub_sources])
+            sources_per_job.append(sub_sources)
+            live.append(i)
+        except Exception as e:
+            logger.exception("failed to prepare job %d", i)
+            results[i]["error"] = str(e)
+
+    if not live:
+        return results
+
+    # --- one sharded launch scores every job's candidate set ---------------
+    aligner = BatchAligner(mesh)
+    max_offset_samples = abs(int(max_offset_seconds * SAMPLE_RATE))
+    all_alignments = aligner.align_batch(
+        refs, cands, max_offset_samples=max_offset_samples
+    )
+
+    # --- per-job selection + output ----------------------------------------
+    for j, i in enumerate(live):
+        try:
+            alignments = all_alignments[j]
+            eligible = [
+                (a, s)
+                for a, s in zip(alignments, sources_per_job[j])
+                if abs(a.offset) <= max_offset_samples
+            ]
+            if not eligible:
+                raise RuntimeError(
+                    "no alignment within +/-%s s" % max_offset_seconds
+                )
+            best, best_source = max(eligible, key=lambda x: x[0].score)
+            offset_seconds = best.offset / float(SAMPLE_RATE)
+            out_subs = shift_document(best_source.scaled_doc_, offset_seconds)
+            srtout = jobs[i][2]
+            out_subs.set_encoding("utf-8").write_file(srtout)
+            results[i].update(
+                offset_seconds=offset_seconds,
+                framerate_scale_factor=best_source.scale_factor,
+                sync_was_successful=bool(best.score >= 0),
+            )
+            logger.info(
+                "job %d: offset %.3f s scale %.3f score %.0f -> %s",
+                i, offset_seconds, best_source.scale_factor, best.score,
+                srtout or "stdout",
+            )
+        except Exception as e:
+            logger.exception("failed to finish job %d", i)
+            results[i]["error"] = str(e)
+    return results
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser(
+        description="Batch-synchronize many subtitle/reference pairs in one "
+        "sharded TPU search."
+    )
+    parser.add_argument(
+        "manifest",
+        help="TSV manifest: one job per line, reference<TAB>srtin[<TAB>srtout]"
+        " (default srtout: <srtin stem>.synced.srt)",
+    )
+    parser.add_argument("--vad", default=DEFAULT_VAD)
+    parser.add_argument("--frame-rate", type=int, default=DEFAULT_FRAME_RATE)
+    parser.add_argument(
+        "--max-offset-seconds", type=float, default=DEFAULT_MAX_OFFSET_SECONDS
+    )
+    parser.add_argument("--no-fix-framerate", action="store_true")
+    parser.add_argument("--decode-workers", type=int, default=4)
+    args = parser.parse_args()
+    jobs: List[Tuple[str, str, Optional[str]]] = []
+    with open(args.manifest) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split("\t")
+            if len(parts) == 2:
+                import os
+
+                parts.append(os.path.splitext(parts[1])[0] + ".synced.srt")
+            jobs.append((parts[0], parts[1], parts[2]))
+    results = sync_batch(
+        jobs,
+        vad=args.vad,
+        frame_rate=args.frame_rate,
+        max_offset_seconds=args.max_offset_seconds,
+        no_fix_framerate=args.no_fix_framerate,
+        decode_workers=args.decode_workers,
+    )
+    failed = [r for r in results if r["error"] or not r["sync_was_successful"]]
+    for r in results:
+        status = "OK" if r["sync_was_successful"] else (r["error"] or "LOW SCORE")
+        print("%s\t%s\t%s" % (r["srtin"], r["offset_seconds"], status))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

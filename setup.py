@@ -33,6 +33,7 @@ setup(
             "subsync=ffsubsync_tpu.sync:main",
             "ffsubsync=ffsubsync_tpu.sync:main",
             "ffs-tpu=ffsubsync_tpu.sync:main",  # Docker/docs entry name
+            "ffs-tpu-batch=ffsubsync_tpu.batch:main",
         ],
     },
     zip_safe=False,

@@ -1,0 +1,83 @@
+# -*- coding: utf-8 -*-
+"""Batch sync API: many jobs, one sharded candidate search."""
+import numpy as np
+import pytest
+
+from ffsubsync_tpu.batch import sync_batch
+from ffsubsync_tpu.constants import SAMPLE_RATE
+
+SPANS = [(4.0, 6.5), (9.0, 11.0), (15.5, 18.0), (22.0, 23.5), (27.0, 30.0)]
+
+
+def _ts(t: float) -> str:
+    ms = int(round(t * 1000))
+    return "%02d:%02d:%02d,%03d" % (
+        ms // 3600000, ms % 3600000 // 60000, ms % 60000 // 1000, ms % 1000
+    )
+
+
+def _srt(spans) -> str:
+    return "".join(
+        "%d\n%s --> %s\nline %d\n\n" % (i + 1, _ts(a), _ts(b), i + 1)
+        for i, (a, b) in enumerate(spans)
+    )
+
+
+def _make_job(tmp_path, name, shift, kind="srt"):
+    ref = tmp_path / ("%s_ref.srt" % name)
+    ref.write_text(_srt(SPANS))
+    srtin = tmp_path / ("%s_in.srt" % name)
+    srtin.write_text(_srt([(a - shift, b - shift) for a, b in SPANS]))
+    srtout = tmp_path / ("%s_out.srt" % name)
+    if kind == "npz":
+        npz = tmp_path / ("%s_ref.npz" % name)
+        signal = np.zeros(int(35 * SAMPLE_RATE))
+        for a, b in SPANS:
+            signal[int(a * SAMPLE_RATE) : int(b * SAMPLE_RATE)] = 1.0
+        np.savez_compressed(str(npz), speech=signal)
+        return (str(npz), str(srtin), str(srtout))
+    return (str(ref), str(srtin), str(srtout))
+
+
+def test_sync_batch_recovers_per_job_offsets(tmp_path):
+    shifts = [3.0, -1.25, 0.75, 2.5]
+    jobs = [
+        _make_job(tmp_path, "j%d" % i, s, kind="npz" if i == 2 else "srt")
+        for i, s in enumerate(shifts)
+    ]
+    results = sync_batch(jobs)
+    assert len(results) == len(jobs)
+    for r, shift in zip(results, shifts):
+        assert r["error"] is None
+        assert r["sync_was_successful"]
+        assert r["offset_seconds"] == pytest.approx(shift, abs=0.02)
+        # output actually written and shifted back
+        out_text = open(r["srtout"]).read()
+        assert _ts(SPANS[0][0]).rsplit(",", 1)[0] in out_text
+
+
+def test_sync_batch_isolates_failing_jobs(tmp_path):
+    good = _make_job(tmp_path, "ok", 1.0)
+    bad = (str(tmp_path / "missing_ref.srt"), good[1], str(tmp_path / "x.srt"))
+    results = sync_batch([bad, good])
+    assert results[0]["error"] is not None
+    assert not results[0]["sync_was_successful"]
+    assert results[1]["sync_was_successful"]
+    assert results[1]["offset_seconds"] == pytest.approx(1.0, abs=0.02)
+
+
+def test_batch_cli_manifest(tmp_path, capsys, monkeypatch):
+    import sys
+
+    from ffsubsync_tpu import batch as batch_mod
+
+    jobs = [_make_job(tmp_path, "m%d" % i, s) for i, s in enumerate([2.0, -0.5])]
+    manifest = tmp_path / "jobs.tsv"
+    manifest.write_text(
+        "".join("%s\t%s\t%s\n" % job for job in jobs) + "# comment line\n"
+    )
+    monkeypatch.setattr(sys, "argv", ["ffs-tpu-batch", str(manifest)])
+    rc = batch_mod.main()
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "OK" in out
