@@ -68,7 +68,7 @@ def _make_ref_source(reference: str, vad: str, frame_rate: int) -> Any:
 
 
 def sync_batch(
-    jobs: Sequence[Tuple[str, str, Optional[str]]],
+    jobs: Sequence[Tuple[str, str, str]],
     vad: str = DEFAULT_VAD,
     frame_rate: int = DEFAULT_FRAME_RATE,
     max_offset_seconds: float = DEFAULT_MAX_OFFSET_SECONDS,
@@ -78,7 +78,8 @@ def sync_batch(
 ) -> List[Dict[str, Any]]:
     """Sync every ``(reference, srtin, srtout)`` job; one sharded search.
 
-    Returns one result dict per job:
+    ``srtout`` must be a path for every job (stdout makes no sense for a
+    batch). Returns one result dict per job:
     ``{reference, srtin, srtout, offset_seconds, framerate_scale_factor,
     sync_was_successful, error}``.
     """
@@ -87,6 +88,12 @@ def sync_batch(
     from ffsubsync_tpu.utils.xla_cache import enable_persistent_cache
 
     enable_persistent_cache()
+    for reference, srtin, srtout in jobs:
+        if not srtout:
+            raise ValueError(
+                "every batch job needs an output path (got none for %r)"
+                % (srtin,)
+            )
     results: List[Dict[str, Any]] = [
         {
             "reference": r,
@@ -132,8 +139,16 @@ def sync_batch(
         if ref_sources[i] is None:
             continue
         try:
+            import os
+
+            from ffsubsync_tpu.subs.parser import make_subtitle_parser
+
+            fmt = (os.path.splitext(srtin)[-1][1:] or "srt") if srtin else "srt"
+            parser = make_subtitle_parser(fmt=fmt, caching=True)
+            maker = lambda r: make_subtitle_speech_source(  # noqa: E731
+                r, fmt=fmt, parser=parser
+            ).fit(srtin)
             job_ratios = list(ratios)
-            maker = lambda r: make_subtitle_speech_source(r).fit(srtin)  # noqa: E731
             sub_sources = [maker(r) for r in job_ratios]
             ref_nf = getattr(ref_sources[i], "num_frames", None)
             if ref_nf is not None and sub_sources[0].num_frames:
@@ -141,6 +156,14 @@ def sync_batch(
                 job_ratios.append(inferred)
                 sub_sources.append(maker(inferred))
             sig = ref_sources[i].transform()
+            if len(sig) == 0 or any(
+                len(s.spec_.starts) == 0 for s in sub_sources
+            ):
+                raise RuntimeError(
+                    "cannot align empty speech data (reference length=%d); "
+                    "the reference or subtitles may contain no detectable "
+                    "speech" % len(sig)
+                )
             refs.append(np.asarray(sig, np.float32))
             cands.append([s.spec_ for s in sub_sources])
             sources_per_job.append(sub_sources)
@@ -185,7 +208,7 @@ def sync_batch(
             logger.info(
                 "job %d: offset %.3f s scale %.3f score %.0f -> %s",
                 i, offset_seconds, best_source.scale_factor, best.score,
-                srtout or "stdout",
+                srtout,
             )
         except Exception as e:
             logger.exception("failed to finish job %d", i)
@@ -211,13 +234,18 @@ def main() -> int:
     parser.add_argument("--no-fix-framerate", action="store_true")
     parser.add_argument("--decode-workers", type=int, default=4)
     args = parser.parse_args()
-    jobs: List[Tuple[str, str, Optional[str]]] = []
+    jobs: List[Tuple[str, str, str]] = []
     with open(args.manifest) as f:
-        for line in f:
+        for lineno, line in enumerate(f, 1):
             line = line.strip()
             if not line or line.startswith("#"):
                 continue
             parts = line.split("\t")
+            if len(parts) < 2 or len(parts) > 3:
+                parser.error(
+                    "%s:%d: expected reference<TAB>srtin[<TAB>srtout], got %r"
+                    % (args.manifest, lineno, line)
+                )
             if len(parts) == 2:
                 import os
 

@@ -118,6 +118,7 @@ class BatchAligner:
         n_offsets = (
             n if max_offset_samples is None else min(2 * int(max_offset_samples), n)
         )
+        n_offsets = max(1, n_offsets)  # degrade gracefully at max_offset=0
         n_devices = self.mesh.devices.size
         b_pad = -(-b // n_devices) * n_devices
 

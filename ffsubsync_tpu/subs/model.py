@@ -200,5 +200,17 @@ class SubtitleDocument:
         else:
             out_format = os.path.splitext(fname)[-1][1:]
         to_write = self.to_string(out_format)
-        with open(fname or sys.stdout.fileno(), "wb") as f:
+        if fname is None:
+            # write to stdout WITHOUT closing the process's fd (library
+            # callers keep printing afterwards); tolerate replaced stdouts
+            # (pytest capture, embedders) that have no binary buffer
+            buffer = getattr(sys.stdout, "buffer", None)
+            if buffer is not None:
+                buffer.write(to_write.encode(self.encoding))
+                buffer.flush()
+            else:
+                sys.stdout.write(to_write)
+                sys.stdout.flush()
+            return
+        with open(fname, "wb") as f:
             f.write(to_write.encode(self.encoding))

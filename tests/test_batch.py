@@ -81,3 +81,57 @@ def test_batch_cli_manifest(tmp_path, capsys, monkeypatch):
     assert rc == 0
     out = capsys.readouterr().out
     assert "OK" in out
+
+
+def test_sync_batch_handles_ass_input(tmp_path):
+    """Non-srt subtitle inputs are parsed by their real format."""
+    ref = tmp_path / "ref.srt"
+    ref.write_text(_srt(SPANS))
+    late = tmp_path / "late.ass"
+    late.write_text(
+        "[Script Info]\nTitle: t\n\n[Events]\n"
+        "Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text\n"
+        + "".join(
+            "Dialogue: 0,%s,%s,Default,,0,0,0,,line %d\n"
+            % (
+                "0:%02d:%05.2f" % ((a - 1.0) // 60, (a - 1.0) % 60),
+                "0:%02d:%05.2f" % ((b - 1.0) // 60, (b - 1.0) % 60),
+                i,
+            )
+            for i, (a, b) in enumerate(SPANS)
+        )
+    )
+    out = tmp_path / "out.ass"
+    [result] = sync_batch([(str(ref), str(late), str(out))])
+    assert result["error"] is None
+    assert result["offset_seconds"] == pytest.approx(1.0, abs=0.02)
+    assert "Dialogue:" in out.read_text()
+
+
+def test_sync_batch_rejects_empty_speech(tmp_path):
+    ref = tmp_path / "ref.srt"
+    ref.write_text(_srt(SPANS))
+    empty = tmp_path / "empty.srt"
+    empty.write_text("\n")
+    out = tmp_path / "out.srt"
+    [result] = sync_batch([(str(ref), str(empty), str(out))])
+    assert result["error"] is not None
+    assert not result["sync_was_successful"]
+
+
+def test_sync_batch_requires_output_paths(tmp_path):
+    job = _make_job(tmp_path, "q", 1.0)
+    with pytest.raises(ValueError, match="output path"):
+        sync_batch([(job[0], job[1], None)])
+
+
+def test_write_file_stdout_does_not_close_fd(capsys):
+    """write_file(None) streams to stdout without closing the process fd."""
+    from ffsubsync_tpu.subs import formats
+
+    doc = formats.parse_document(
+        "1\n00:00:05,000 --> 00:00:07,500\nHello.\n", "srt", "utf-8"
+    )
+    doc.write_file(None)
+    doc.write_file(None)  # second write must not hit a closed fd
+    print("still-alive")  # nor the caller's own stdout
