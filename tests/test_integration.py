@@ -76,6 +76,8 @@ CASES = [
     ("wav_auditok", "wav", {"shift": 2.0}, ["--vad", "auditok"]),
     ("npz_roundtrip", "npz", {"shift": 2.5}, []),
     ("wav_gss", "wav", {"shift": 1.25, "ratio": 24.0 / 23.976}, ["--gss"]),
+    ("wav_multiseg", "wav", {"shift": 2.0},
+     ["--multi-segment-sync", "--segment-count", "4"]),
 ]
 
 SMOKE_CASES = [c for c in CASES if c[0] in ("srt_shift", "wav_webrtc")]
