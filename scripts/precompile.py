@@ -44,17 +44,19 @@ def warm(minutes: float) -> None:
         log("  vad %s: %.1f s" % (vad, time.perf_counter() - t0))
 
     t0 = time.perf_counter()
-    signal = (rng.rand(nw) > 0.8).astype(np.float64)
+    signal = (rng.rand(n_windows) > 0.8).astype(np.float64)
     cands = []
     for ratio in [1.0] + FRAMERATE_RATIOS + [1.0 / r for r in FRAMERATE_RATIOS]:
-        starts = np.sort(rng.randint(0, nw - 500, size=1024).astype(np.int32))
+        starts = np.sort(
+            rng.randint(0, n_windows - 500, size=1024).astype(np.int32)
+        )
         cands.append(
             RasterSpec(
-                n_samples=int(nw * ratio) + 2,
+                n_samples=int(n_windows * ratio) + 2,
                 starts=starts,
                 ends=(starts + 150).astype(np.int32),
                 weight=min(1.0 / ratio, 1.0),
-                max_time=nw / float(SAMPLE_RATE),
+                max_time=n_windows / float(SAMPLE_RATE),
                 sample_rate=SAMPLE_RATE,
             )
         )
