@@ -33,8 +33,11 @@ import numpy as np
 
 from ffsubsync_tpu.constants import (
     DEFAULT_FRAME_RATE,
+    DEFAULT_MAX_FRAMERATE_DEVIATION,
     DEFAULT_MAX_OFFSET_SECONDS,
+    DEFAULT_MIN_SCORE,
     DEFAULT_NON_SPEECH_LABEL,
+    DEFAULT_QUALITY_MAX_OFFSET_SECONDS,
     DEFAULT_VAD,
     FRAMERATE_RATIOS,
     SAMPLE_RATE,
@@ -48,7 +51,9 @@ logger = logging.getLogger(__name__)
 def _make_ref_source(reference: str, vad: str, frame_rate: int) -> Any:
     """Reference dispatch, mirroring sync.make_reference_extractor's order
     for the formats batch mode supports (subtitles / npz / video-audio)."""
-    ref_format = reference[-3:]
+    from ffsubsync_tpu.validation import reference_format
+
+    ref_format = reference_format(reference)
     if ref_format in SUBTITLE_EXTENSIONS:
         from ffsubsync_tpu.speech import SubtitleSpeechSource
 
@@ -85,6 +90,7 @@ def sync_batch(
     """
     from ffsubsync_tpu.parallel.batch import BatchAligner
     from ffsubsync_tpu.speech import make_subtitle_speech_source
+    from ffsubsync_tpu.sync import assess_alignment_quality
     from ffsubsync_tpu.utils.xla_cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -102,6 +108,7 @@ def sync_batch(
             "offset_seconds": None,
             "framerate_scale_factor": None,
             "sync_was_successful": False,
+            "quality_reasons": [],
             "error": None,
         }
         for r, s, o in jobs
@@ -200,15 +207,29 @@ def sync_batch(
             out_subs = shift_document(best_source.scaled_doc_, offset_seconds)
             srtout = jobs[i][2]
             out_subs.set_encoding("utf-8").write_file(srtout)
+            # flag (but still write) syncs the single-file quality gate would
+            # reject, so "re-run ffs on the stragglers" is actionable
+            quality_reasons = assess_alignment_quality(
+                best.score,
+                offset_seconds,
+                best_source.scale_factor,
+                min_score=DEFAULT_MIN_SCORE,
+                max_offset_seconds=DEFAULT_QUALITY_MAX_OFFSET_SECONDS,
+                max_framerate_deviation=DEFAULT_MAX_FRAMERATE_DEVIATION,
+            )
             results[i].update(
                 offset_seconds=offset_seconds,
                 framerate_scale_factor=best_source.scale_factor,
-                sync_was_successful=bool(best.score >= 0),
+                sync_was_successful=not quality_reasons,
+                quality_reasons=quality_reasons,
             )
             logger.info(
-                "job %d: offset %.3f s scale %.3f score %.0f -> %s",
+                "job %d: offset %.3f s scale %.3f score %.0f -> %s%s",
                 i, offset_seconds, best_source.scale_factor, best.score,
                 srtout,
+                " [LOW QUALITY: %s]" % "; ".join(quality_reasons)
+                if quality_reasons
+                else "",
             )
         except Exception as e:
             logger.exception("failed to finish job %d", i)
@@ -233,7 +254,20 @@ def main() -> int:
     )
     parser.add_argument("--no-fix-framerate", action="store_true")
     parser.add_argument("--decode-workers", type=int, default=4)
+    parser.add_argument(
+        "--gss",
+        action="store_true",
+        help="Accepted for CLI compatibility; batch mode does not implement "
+        "golden-section refinement (a warning is printed and the flag is "
+        "ignored — run `ffs` on flagged jobs for --gss).",
+    )
     args = parser.parse_args()
+    if args.gss:
+        logger.warning(
+            "--gss is ignored in batch mode; the discrete framerate-ratio "
+            "grid and the duration-inferred ratio are still searched. Run "
+            "`ffs --gss` on any job this batch flags as low quality."
+        )
     jobs: List[Tuple[str, str, str]] = []
     with open(args.manifest) as f:
         for lineno, line in enumerate(f, 1):
@@ -261,7 +295,12 @@ def main() -> int:
     )
     failed = [r for r in results if r["error"] or not r["sync_was_successful"]]
     for r in results:
-        status = "OK" if r["sync_was_successful"] else (r["error"] or "LOW SCORE")
+        if r["sync_was_successful"]:
+            status = "OK"
+        elif r["error"]:
+            status = r["error"]
+        else:
+            status = "LOW QUALITY: " + "; ".join(r["quality_reasons"])
         print("%s\t%s\t%s" % (r["srtin"], r["offset_seconds"], status))
     return 1 if failed else 0
 

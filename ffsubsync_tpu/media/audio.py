@@ -314,15 +314,16 @@ class VideoSpeechSource:
                     pcm_parts.append(in_bytes)
                     buffered_bytes += len(in_bytes)
                     if buffered_bytes > max_buffer_bytes:
-                        # the duration probe lied or failed: spill the buffer
-                        # through the (state-carrying) detector and continue
-                        # streaming at constant memory
+                        # the duration probe lied or failed: drain the parts
+                        # through the (state-carrying) detector one streaming
+                        # chunk at a time — no whole-buffer join, so peak
+                        # memory stays at the cap — then keep streaming
                         logger.info(
                             "buffered %d bytes, above the cap; "
                             "switching to streaming VAD",
                             buffered_bytes,
                         )
-                        media_bstring.append(detector(b"".join(pcm_parts)))
+                        media_bstring.extend(detector(p) for p in pcm_parts)
                         pcm_parts = []
                         buffered = False
                 else:

@@ -17,10 +17,8 @@ host, outside jitted code.
 import argparse
 import logging
 import os
-import shutil
 import subprocess
 import sys
-from datetime import datetime
 from typing import Any, Callable, Dict, List, Optional, Tuple, Union
 
 import numpy as np
@@ -32,9 +30,17 @@ from ffsubsync_tpu.constants import (
     FRAMERATE_RATIOS,
     SAMPLE_RATE,
     SUBTITLE_EXTENSIONS,
-    is_remote_url,
 )
 from ffsubsync_tpu.media.ffmpeg import ffmpeg_bin_path
+from ffsubsync_tpu.utils.archive import make_test_case, session_log_path
+from ffsubsync_tpu.validation import (
+    detect_sibling_subtitles as _detect_srtin_from_reference,
+    reference_format as _ref_format,
+    resolve_output_path as _resolve_srtout,
+    speech_archive_path,
+    validate_args,
+    validate_file_permissions,
+)
 from ffsubsync_tpu.ops.align import (
     Alignment,
     FailedToFindAlignmentException,
@@ -59,64 +65,6 @@ def override(args: argparse.Namespace, **kwargs: Any) -> Dict[str, Any]:
     args_dict = dict(args.__dict__)
     args_dict.update(kwargs)
     return args_dict
-
-
-def _ref_format(ref_fname: Optional[str]) -> Optional[str]:
-    if ref_fname is None:
-        return None
-    return ref_fname[-3:]
-
-
-def make_test_case(
-    args: argparse.Namespace, npy_savename: Optional[str], sync_was_successful: bool
-) -> int:
-    """Bundle log + inputs + outputs + speech npz into an archive for bug reports."""
-    if npy_savename is None:
-        raise ValueError("need non-null npy_savename")
-    tar_dir = "{}.{}".format(
-        args.reference, datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
-    )
-    logger.info("creating test archive %s.tar.gz...", tar_dir)
-    os.mkdir(tar_dir)
-    try:
-        log_path = "ffsubsync.log"
-        if args.log_dir_path is not None and os.path.isdir(args.log_dir_path):
-            log_path = os.path.join(args.log_dir_path, log_path)
-        shutil.copy(log_path, tar_dir)
-        shutil.copy(args.srtin[0], tar_dir)
-        if sync_was_successful:
-            shutil.move(args.srtout, tar_dir)
-        if _ref_format(args.reference) in SUBTITLE_EXTENSIONS:
-            shutil.copy(args.reference, tar_dir)
-        elif args.serialize_speech or args.reference == npy_savename:
-            shutil.copy(npy_savename, tar_dir)
-        else:
-            shutil.move(npy_savename, tar_dir)
-        supported_formats = set(list(zip(*shutil.get_archive_formats()))[0])
-        preferred_formats = ["gztar", "bztar", "xztar", "zip", "tar"]
-        for archive_format in preferred_formats:
-            if archive_format in supported_formats:
-                shutil.make_archive(tar_dir, archive_format, os.curdir, tar_dir)
-                break
-        else:
-            logger.error(
-                "failed to create test archive; no formats supported "
-                "(this should not happen)"
-            )
-            return 1
-        logger.info("...done")
-    finally:
-        shutil.rmtree(tar_dir)
-    return 0
-
-
-def _resolve_srtout(args: argparse.Namespace, srtin: Optional[str]) -> Optional[str]:
-    """Output path precedence: overwrite-input > auto `.synced.srt` > explicit."""
-    if args.overwrite_input:
-        return srtin
-    if getattr(args, "auto_srtout", False) and srtin is not None:
-        return "{}.synced.srt".format(os.path.splitext(srtin)[0])
-    return args.srtout
 
 
 def get_srt_source_maker(
@@ -193,9 +141,11 @@ def _run_gss_search(
     scores a whole ratio grid in ONE batched device launch and narrows the
     bracket around the argmax, reaching the same 1e-4 localization in 3
     launches — fewer round trips AND robust to non-unimodal score surfaces
-    where golden-section can converge to a local optimum. The best candidate
-    of the final round enters the cross-candidate selection, playing the
-    role of fit_gss's recorded last-iteration scores.
+    where golden-section can converge to a local optimum. Every candidate of
+    the final round enters the cross-candidate selection, matching fit_gss's
+    recorded last-iteration scores (aligners.py:111-129) — so a gss ratio
+    whose best offset exceeds the post-filter can still lose to another
+    in-bounds gss ratio rather than knocking out the gss branch entirely.
     """
     lo, hi = MIN_FRAMERATE_RATIO, MAX_FRAMERATE_RATIO
     while True:
@@ -217,7 +167,7 @@ def _run_gss_search(
             alignments[best_i].offset,
         )
         if step <= GSS_TOL:
-            return [(alignments[best_i], sources[best_i])]
+            return list(zip(alignments, sources))
         lo = max(MIN_FRAMERATE_RATIO, ratios[best_i] - step)
         hi = min(MAX_FRAMERATE_RATIO, ratios[best_i] + step)
 
@@ -507,164 +457,13 @@ def extract_subtitles_from_reference(args: argparse.Namespace) -> int:
     return retcode
 
 
-def _detect_srtin_from_reference(reference: str) -> List[str]:
-    """Find sibling subtitle files sharing the reference's name.
-
-    Matches `<stem>.srt` and `<stem>.<suffix>.srt` in the reference's own
-    directory, skipping `*.synced.srt` outputs and the reference itself.
-    """
-    reference_dir = os.path.dirname(reference) or "."
-    reference_stem = os.path.splitext(os.path.basename(reference))[0]
-    reference_abspath = os.path.abspath(reference)
-    matches = []
-    for name in sorted(os.listdir(reference_dir)):
-        stem, ext = os.path.splitext(name)
-        if ext.lower() != ".srt":
-            continue
-        if name.endswith(".synced.srt"):
-            continue  # keep re-runs idempotent
-        if stem != reference_stem and not stem.startswith(reference_stem + "."):
-            continue
-        path = os.path.join(reference_dir, name)
-        if os.path.abspath(path) == reference_abspath:
-            continue
-        matches.append(path)
-    return matches
-
-
-def validate_args(args: argparse.Namespace) -> None:
-    if args.vlc_mode:
-        logger.setLevel(logging.CRITICAL)
-    if args.reference is None:
-        if args.apply_offset_seconds == 0 or not args.srtin:
-            raise ValueError(
-                "`reference` required unless `--apply-offset-seconds` specified"
-            )
-    if args.apply_offset_seconds != 0:
-        if not args.srtin:
-            args.srtin = [args.reference]
-        if not args.srtin:
-            raise ValueError(
-                "at least one of `srtin` or `reference` must be specified "
-                "to apply offset seconds"
-            )
-    if args.srtin:
-        if len(args.srtin) > 1 and not args.overwrite_input:
-            raise ValueError(
-                "cannot specify multiple input srt files without overwriting"
-            )
-        if len(args.srtin) > 1 and args.make_test_case:
-            raise ValueError("cannot specify multiple input srt files for test cases")
-        if len(args.srtin) > 1 and args.gui_mode:
-            raise ValueError("cannot specify multiple input srt files in GUI mode")
-    elif (
-        args.reference is not None
-        and not is_remote_url(args.reference)  # can't list a remote dir
-        and args.extract_subs_from_stream is None
-        and not args.gui_mode
-        and not args.make_test_case
-        and sys.stdin.isatty()  # don't hijack subtitles piped in on stdin
-    ):
-        logger.info("no input srt specified; detecting input srt from reference")
-        detected = _detect_srtin_from_reference(args.reference)
-        if detected:
-            for path in detected:
-                logger.info("detected input srt: %s", path)
-            args.srtin = detected
-            if len(detected) > 1 and args.srtout is not None:
-                raise ValueError(
-                    "detected multiple input srt files but an output file was "
-                    "specified; re-run with --overwrite-input or a single input"
-                )
-            if args.srtout is None and not args.overwrite_input:
-                args.auto_srtout = True
-                logger.info(
-                    "writing synced output alongside each input as "
-                    "<name>.synced.srt; pass --overwrite-input to overwrite the "
-                    "input file(s) in place instead"
-                )
-        else:
-            logger.info("no input srt detected from reference")
-    if args.make_test_case and not args.gui_mode:
-        if not args.srtin or args.srtout is None:
-            raise ValueError(
-                "need to specify input and output srt files for test cases"
-            )
-    if args.overwrite_input:
-        if args.extract_subs_from_stream is not None:
-            raise ValueError(
-                "input overwriting not allowed for extracting subtitles "
-                "from reference"
-            )
-        if not args.srtin:
-            raise ValueError(
-                "need to specify input srt if --overwrite-input "
-                "is specified since we cannot overwrite stdin"
-            )
-        if args.srtout is not None:
-            raise ValueError(
-                "overwrite input set but output file specified; "
-                "refusing to run in case this was not intended"
-            )
-    if args.extract_subs_from_stream is not None:
-        if args.make_test_case:
-            raise ValueError("test case is for sync and not subtitle extraction")
-        if args.srtin:
-            raise ValueError(
-                "stream specified for reference subtitle extraction; "
-                "-i flag for sync input not allowed"
-            )
-
-
-def validate_file_permissions(args: argparse.Namespace) -> None:
-    error_string_template = (
-        "unable to {action} {file}; "
-        "try ensuring file exists and has correct permissions"
-    )
-    if (
-        args.reference is not None
-        and not is_remote_url(args.reference)  # ffmpeg streams URLs directly
-        and not os.access(args.reference, os.R_OK)
-    ):
-        raise ValueError(
-            error_string_template.format(action="read reference", file=args.reference)
-        )
-    if args.srtin:
-        for srtin in args.srtin:
-            if srtin is not None and not os.access(srtin, os.R_OK):
-                raise ValueError(
-                    error_string_template.format(
-                        action="read input subtitles", file=srtin
-                    )
-                )
-    if (
-        args.srtout is not None
-        and os.path.exists(args.srtout)
-        and not os.access(args.srtout, os.W_OK)
-    ):
-        raise ValueError(
-            error_string_template.format(
-                action="write output subtitles", file=args.srtout
-            )
-        )
-    if args.make_test_case or args.serialize_speech:
-        npy_savename = os.path.splitext(args.reference)[0] + ".npz"
-        if os.path.exists(npy_savename) and not os.access(npy_savename, os.W_OK):
-            raise ValueError(
-                "unable to write test case file archive %s "
-                "(try checking permissions)" % npy_savename
-            )
-
-
 def _setup_logging(
     args: argparse.Namespace,
 ) -> Tuple[Optional[str], Optional[logging.FileHandler]]:
     log_handler = None
     log_path = None
     if args.make_test_case or args.log_dir_path is not None:
-        log_path = "ffsubsync.log"
-        if args.log_dir_path is not None and os.path.isdir(args.log_dir_path):
-            log_path = os.path.join(args.log_dir_path, log_path)
+        log_path = session_log_path(args.log_dir_path)
         log_handler = logging.FileHandler(log_path)
         logger.addHandler(log_handler)
         logger.info("this log will be written to %s", os.path.abspath(log_path))
@@ -672,7 +471,7 @@ def _setup_logging(
 
 
 def _npy_savename(args: argparse.Namespace) -> str:
-    return os.path.splitext(args.reference)[0] + ".npz"
+    return speech_archive_path(args.reference)
 
 
 def _run_impl(

@@ -119,6 +119,19 @@ def test_sync_batch_rejects_empty_speech(tmp_path):
     assert not result["sync_was_successful"]
 
 
+def test_sync_batch_flags_low_quality_but_still_writes(tmp_path):
+    """A 45 s offset is inside the 60 s search bound but beyond the 30 s
+    quality bound: the job must be flagged (not successful, reasons recorded)
+    while the output is still written for human review."""
+    job = _make_job(tmp_path, "lowq", -45.0)
+    [result] = sync_batch([job])
+    assert result["error"] is None
+    assert result["offset_seconds"] == pytest.approx(-45.0, abs=0.02)
+    assert not result["sync_was_successful"]
+    assert any("offset" in r for r in result["quality_reasons"])
+    assert open(result["srtout"]).read()  # flagged, but written
+
+
 def test_sync_batch_requires_output_paths(tmp_path):
     job = _make_job(tmp_path, "q", 1.0)
     with pytest.raises(ValueError, match="output path"):
