@@ -3,60 +3,62 @@
 
 Wraps the shared argument surface in Gooey widgets and runs the sync with
 ``gui_mode=True`` (which switches progress to stdout percent prints that
-Gooey's ``progress_regex`` consumes). Gooey is an optional dependency: on
-hosts without it this module raises a clear error at import.
+Gooey's ``progress_regex`` consumes). Gooey is an optional dependency: the
+module imports cleanly without it, and :func:`make_parser` / :func:`main`
+raise a clear error when it is actually needed.
 """
 import logging
 import sys
 
-from ffsubsync_tpu.cli import add_main_args_for_cli
 from ffsubsync_tpu.constants import (
     DEFAULT_MAX_OFFSET_SECONDS,
     DEFAULT_VAD,
     DESCRIPTION,
     PROJECT_NAME,
 )
-from ffsubsync_tpu.sync import run
 from ffsubsync_tpu.version import get_version, update_available
 
 logger = logging.getLogger(__name__)
 
-try:
-    from gooey import Gooey, GooeyParser
-except ImportError as e:  # pragma: no cover - gooey is optional
-    raise ImportError(
-        "the GUI requires the optional 'gooey' dependency: pip install gooey"
-    ) from e
-
-_menu = [
-    {
-        "name": "File",
-        "items": [
-            {
-                "type": "AboutDialog",
-                "menuTitle": "About",
-                "name": PROJECT_NAME,
-                "description": DESCRIPTION,
-                "version": get_version(),
-            }
-        ],
-    }
-]
-
-
-@Gooey(
+_GOOEY_SETTINGS = dict(
     program_name=PROJECT_NAME,
     image_dir=":ffsubsync_tpu",
-    menu=_menu,
     tabbed_groups=True,
     progress_regex=r"(\d+)%",
     hide_progress_msg=True,
 )
-def make_parser():
-    description = DESCRIPTION
-    if update_available():
-        description += "\nUpdate available! Please go to the website to update."
-    parser = GooeyParser(description=description)
+
+
+def _import_gooey():
+    try:
+        from gooey import Gooey, GooeyParser
+    except ImportError as e:
+        raise ImportError(
+            "the GUI requires the optional 'gooey' dependency: "
+            "pip install gooey"
+        ) from e
+    return Gooey, GooeyParser
+
+
+def _about_menu():
+    return [
+        {
+            "name": "File",
+            "items": [
+                {
+                    "type": "AboutDialog",
+                    "menuTitle": "About",
+                    "name": PROJECT_NAME,
+                    "description": DESCRIPTION,
+                    "version": get_version(),
+                }
+            ],
+        }
+    ]
+
+
+def _populate_parser(parser):
+    """Add the GUI argument surface to a (Gooey)Parser."""
     main_group = parser.add_argument_group("Basic")
     main_group.add_argument(
         "reference",
@@ -117,7 +119,25 @@ def make_parser():
     return parser
 
 
+def make_parser():
+    """Build the Gooey-decorated parser (imports gooey on first use)."""
+    Gooey, GooeyParser = _import_gooey()
+
+    @Gooey(menu=_about_menu(), **_GOOEY_SETTINGS)
+    def _build():
+        description = DESCRIPTION
+        if update_available():
+            description += (
+                "\nUpdate available! Please go to the website to update."
+            )
+        return _populate_parser(GooeyParser(description=description))
+
+    return _build()
+
+
 def main() -> int:
+    from ffsubsync_tpu.sync import run
+
     parser = make_parser()
     args = parser.parse_args()
     args.srtin = [args.srtin]

@@ -52,8 +52,20 @@ class ProgressReporter:
         self.processed_seconds = 0.0
         self._pbar = None
         self._pbar_output: Optional[io.StringIO] = None
+        self._stderr_redirect = None
 
     def __enter__(self) -> "ProgressReporter":
+        if self.gui_mode:
+            # capture stray stderr during extraction and re-surface it on
+            # stdout each update, where Gooey can display it (parity:
+            # speech_transformers.py:688-706, 738-741)
+            from contextlib import redirect_stderr
+
+            self._pbar_output = io.StringIO()
+            self._stderr_redirect = redirect_stderr(self._pbar_output)
+            self._stderr_redirect.__enter__()
+        else:
+            self._stderr_redirect = None
         try:
             import tqdm
 
@@ -67,9 +79,11 @@ class ProgressReporter:
             self._pbar = None
         return self
 
-    def __exit__(self, *exc) -> None:
+    def __exit__(self, exc_type=None, exc=None, tb=None) -> None:
         if self._pbar is not None:
             self._pbar.close()
+        if self._stderr_redirect is not None:
+            self._stderr_redirect.__exit__(exc_type, exc, tb)
 
     def update(self, new_seconds: float) -> None:
         if (
@@ -94,3 +108,6 @@ class ProgressReporter:
         if self.vlc_mode and self.total_seconds is not None:
             print("%d" % int(self.processed_seconds * 100.0 / self.total_seconds))
             sys.stdout.flush()
+        if self.gui_mode and self._pbar_output is not None:
+            # gui mode runs python -u, so no explicit flush needed
+            print(self._pbar_output.read())
