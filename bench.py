@@ -122,27 +122,42 @@ def main() -> int:
     log("warmup took %.2f s" % (time.perf_counter() - t0))
 
     # --- timed runs ----------------------------------------------------------
-    # best of N: the host<->device link on shared/tunneled TPU frontends has
-    # multi-second jitter; the minimum reflects what the chip actually does
+    # the host<->device link on shared/tunneled TPU frontends has multi-second
+    # jitter: report the full best/median/worst distribution, headline on best
     n_runs = int(os.environ.get("BENCH_RUNS", "3"))
-    elapsed = float("inf")
+    run_times = []
     for i in range(n_runs):
         t0 = time.perf_counter()
         signal, results = run_once()
         run_s = time.perf_counter() - t0
         log("run %d: %.3f s" % (i, run_s))
-        elapsed = min(elapsed, run_s)
+        run_times.append(run_s)
+    run_times.sort()
+    elapsed = run_times[0]
+    median_s = run_times[len(run_times) // 2]
+    worst_s = run_times[-1]
 
     best = max(range(len(results)), key=lambda i: results[i].score)
     got_offset = results[best].offset / SAMPLE_RATE
     offset_err_ms = abs(got_offset - true_offset) * 1000.0
     log(
-        "sync time %.3f s | best ratio %.5f | offset %.2f s (err %.1f ms) | "
-        "VAD speech frac %.3f"
-        % (elapsed, ratios[best], got_offset, offset_err_ms, (signal > 0.5).mean())
+        "sync best %.3f s / median %.3f s / worst %.3f s | best ratio %.5f | "
+        "offset %.2f s (err %.1f ms) | VAD speech frac %.3f"
+        % (
+            elapsed, median_s, worst_s, ratios[best], got_offset,
+            offset_err_ms, (signal > 0.5).mean(),
+        )
     )
     if offset_err_ms > 100:
         log("WARNING: offset error above 100 ms — benchmark result suspect")
+
+    # --- end-to-end CLI case (through run(): WAV read → VAD → align → write)
+    e2e_s = None
+    e2e_offset_err_ms = None
+    if os.environ.get("BENCH_E2E", "1") == "1":
+        e2e_s, e2e_offset_err_ms = _bench_cli_end_to_end(
+            pcm, frame_rate, sub_spans, vad_name, true_offset, log
+        )
 
     syncs_per_sec = 1.0 / elapsed
     baseline_seconds = 25.0  # reference README: 20-30 s per movie on CPU
@@ -154,10 +169,90 @@ def main() -> int:
                 "value": round(syncs_per_sec, 4),
                 "unit": "syncs/sec/chip",
                 "vs_baseline": round(vs_baseline, 2),
+                "timing": "best-of-%d" % n_runs,
+                "best_s": round(elapsed, 3),
+                "median_s": round(median_s, 3),
+                "worst_s": round(worst_s, 3),
+                "offset_err_ms": round(offset_err_ms, 1),
+                "e2e_cli_s": None if e2e_s is None else round(e2e_s, 3),
+                "e2e_offset_err_ms": (
+                    None
+                    if e2e_offset_err_ms is None
+                    else round(e2e_offset_err_ms, 1)
+                ),
             }
         )
     )
     return 0
+
+
+def _write_wav(path: str, pcm_i16: np.ndarray, frame_rate: int) -> None:
+    import struct
+
+    data = pcm_i16.astype("<i2").tobytes()
+    with open(path, "wb") as f:
+        f.write(b"RIFF")
+        f.write(struct.pack("<I", 36 + len(data)))
+        f.write(b"WAVEfmt ")
+        f.write(
+            struct.pack(
+                "<IHHIIHH", 16, 1, 1, frame_rate, frame_rate * 2, 2, 16
+            )
+        )
+        f.write(b"data")
+        f.write(struct.pack("<I", len(data)))
+        f.write(data)
+
+
+def _format_srt_ts(t: float) -> str:
+    ms = int(round(t * 1000))
+    return "%02d:%02d:%02d,%03d" % (
+        ms // 3600000, ms % 3600000 // 60000, ms % 60000 // 1000, ms % 1000
+    )
+
+
+def _bench_cli_end_to_end(
+    pcm, frame_rate, sub_spans, vad_name, true_offset, log
+):
+    """Time one sync through the real entry point: run() with a WAV
+    reference read by the native WAV reader. Returns (seconds, offset err)."""
+    import shutil
+    import tempfile
+
+    from ffsubsync_tpu.cli import make_parser
+    from ffsubsync_tpu.sync import run as sync_run
+
+    tmpdir = tempfile.mkdtemp(prefix="ffs_bench_")
+    try:
+        wav_path = os.path.join(tmpdir, "movie.wav")
+        srt_path = os.path.join(tmpdir, "movie.srt")
+        out_path = os.path.join(tmpdir, "synced.srt")
+        t0 = time.perf_counter()
+        _write_wav(wav_path, pcm, frame_rate)
+        log("wrote bench WAV in %.2f s" % (time.perf_counter() - t0))
+        with open(srt_path, "w") as f:
+            for i, (a, b) in enumerate(s for s in sub_spans if s[0] >= 0):
+                f.write(
+                    "%d\n%s --> %s\nline %d\n\n"
+                    % (i + 1, _format_srt_ts(a), _format_srt_ts(b), i + 1)
+                )
+        e2e_s = None
+        err_ms = None
+        for attempt in range(2):  # first run may compile WAV-path buckets
+            args = make_parser().parse_args(
+                [wav_path, "-i", srt_path, "-o", out_path, "--vad", vad_name]
+            )
+            t0 = time.perf_counter()
+            result = sync_run(args)
+            e2e_s = time.perf_counter() - t0
+            err_ms = abs(result["offset_seconds"] - true_offset) * 1000.0
+            log(
+                "e2e cli run %d: %.3f s (offset err %.1f ms)"
+                % (attempt, e2e_s, err_ms)
+            )
+        return e2e_s, err_ms
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -296,8 +296,23 @@ class VideoSpeechSource:
         )
         bytes_per_frame = 2
         bytes_per_window = bytes_per_frame * pcm_rate // self.sample_rate
+        # buffered mode pipelines the VAD: once a device-sized chunk has
+        # accumulated it is dispatched asynchronously, so host staging, the
+        # host→device wire, and device compute all overlap the ffmpeg decode
+        # that dominates wall-clock; results are pulled once at the end
+        dispatch_async = getattr(detector, "dispatch_async", None)
+        gather = getattr(detector, "gather", None)
+        pipeline_bytes = 0
+        if dispatch_async is not None and gather is not None:
+            from ffsubsync_tpu.ops.vad import _pipeline_chunk_samples
+
+            pipeline_bytes = (
+                _pipeline_chunk_samples(pcm_rate, self.sample_rate)
+                * bytes_per_frame
+            )
         media_bstring: List[np.ndarray] = []
         pcm_parts: List[bytes] = []
+        pending_handles: List[Any] = []
         buffered_bytes = 0
         with ProgressReporter(
             total_duration,
@@ -313,7 +328,13 @@ class VideoSpeechSource:
                 if buffered:
                     pcm_parts.append(in_bytes)
                     buffered_bytes += len(in_bytes)
-                    if buffered_bytes > max_buffer_bytes:
+                    if pipeline_bytes and buffered_bytes >= pipeline_bytes:
+                        pending_handles.append(
+                            dispatch_async(b"".join(pcm_parts))
+                        )
+                        pcm_parts = []
+                        buffered_bytes = 0
+                    elif buffered_bytes > max_buffer_bytes:
                         # the duration probe lied or failed: drain the parts
                         # through the (state-carrying) detector one streaming
                         # chunk at a time — no whole-buffer join, so peak
@@ -328,7 +349,11 @@ class VideoSpeechSource:
                         buffered = False
                 else:
                     media_bstring.append(detector(in_bytes))
-        if buffered and pcm_parts:
+        if buffered and pending_handles:
+            if pcm_parts:
+                pending_handles.append(dispatch_async(b"".join(pcm_parts)))
+            media_bstring.append(gather(pending_handles))
+        elif buffered and pcm_parts:
             media_bstring.append(detector(b"".join(pcm_parts)))
         if len(media_bstring) == 0:
             raise ValueError(

@@ -11,8 +11,12 @@ one generator's quirks:
 - ``fricative``: noise bursts band-passed into speech bands mixed with a weak
   voiced component (consonant-heavy speech).
 
-Non-speech: silence/noise beds, steady tones, and music-like sustained
-harmonic chords (energetic but not syllabically modulated).
+Non-speech: silence/noise beds, steady tones, music-like sustained harmonic
+chords (energetic but not syllabically modulated), plus adversarial classes
+that share individual speech cues without being speech — transient trains
+(claps/foley), decaying note onsets, crowd babble (overlapped talkers), and
+laughter-class periodic voiced bursts. The adversarial *evaluation* set
+(models/eval_data.py) covers the same classes with disjoint generators.
 
 Labels mark whole utterance spans (as human VAD annotations do), not the
 instantaneous envelope — the detector is expected to bridge syllabic dips.
@@ -89,7 +93,7 @@ def _reverb(rng, x: np.ndarray, frame_rate: int) -> np.ndarray:
 
 def synth_nonspeech(rng, samples: int, frame_rate: int) -> np.ndarray:
     t = np.arange(samples) / frame_rate
-    mode = rng.randint(4)
+    mode = rng.randint(8)
     x = np.zeros(samples, np.float32)
     if mode == 0:
         pass  # noise floor only (added by caller)
@@ -108,7 +112,7 @@ def synth_nonspeech(rng, samples: int, frame_rate: int) -> np.ndarray:
                     10 ** rng.uniform(-1.8, -0.8) / h
                     * np.sin(2 * np.pi * base * h * t[:seg])
                 ).astype(np.float32)
-    else:  # vocal-like sustained notes: vibrato + slow swells, NO syllabic AM
+    elif mode == 3:  # vocal-like sustained notes: vibrato + slow swells, NO syllabic AM
         f0 = rng.uniform(150, 500)
         vib = 1.0 + 0.01 * np.sin(2 * np.pi * rng.uniform(4, 7) * t)
         swell = 0.6 + 0.4 * np.sin(
@@ -119,6 +123,50 @@ def synth_nonspeech(rng, samples: int, frame_rate: int) -> np.ndarray:
                 2 * np.pi * f0 * h * t * vib + rng.uniform(0, 6.28)
             ).astype(np.float32)
         x *= swell.astype(np.float32)
+    elif mode == 4:  # transient trains: claps/foley impacts, broadband decays
+        level = 10 ** rng.uniform(-1.2, -0.3)
+        density = rng.uniform(8, 35)  # impacts per second
+        n_hits = max(1, int(samples / frame_rate * density))
+        dlen = int(rng.uniform(0.004, 0.02) * frame_rate)
+        env = np.exp(-np.arange(dlen) / max(1, int(0.0025 * frame_rate)))
+        for pos in rng.randint(0, max(1, samples - dlen), size=n_hits):
+            x[pos : pos + dlen] += (
+                level * rng.uniform(0.2, 1.0) * env * rng.randn(dlen)
+            )
+    elif mode == 5:  # note onsets: struck/plucked decaying harmonics
+        level = 10 ** rng.uniform(-1.5, -0.5)
+        pos = 0
+        while pos < samples - frame_rate // 10:
+            nl = min(int(rng.uniform(0.12, 0.6) * frame_rate), samples - pos)
+            f = rng.uniform(80, 900)
+            tt = np.arange(nl) / frame_rate
+            env = np.exp(-tt / rng.uniform(0.05, 0.35))
+            note = sum(
+                np.sin(2 * np.pi * f * h * tt + rng.uniform(0, 6.28)) / h
+                for h in (1, 2, 3, 4)
+            )
+            x[pos : pos + nl] += (level * env * note).astype(np.float32)
+            pos += nl
+    elif mode == 6:  # crowd babble: many overlapped talkers -> texture
+        voices = rng.randint(6, 14)
+        for _ in range(voices):
+            v, _active = synth_speech(rng, samples, frame_rate)
+            x += np.roll(v, rng.randint(samples)).astype(np.float32)
+        x *= 2.5 / voices
+    else:  # laughter-class: overlapping regular voiced burst trains,
+        # hard-gated at syllable rate with pitch declination — rhythmic and
+        # harmonic like speech, but periodic rather than phrase-structured
+        for _ in range(rng.randint(2, 6)):
+            rate = rng.uniform(3.5, 6.5)
+            duty = rng.uniform(0.35, 0.6)
+            gatephase = 2 * np.pi * rate * t + rng.uniform(0, 6.28)
+            gate = (np.cos(gatephase) > np.cos(np.pi * duty)).astype(np.float32)
+            f0 = rng.uniform(170, 420) * np.exp(-t / rng.uniform(2.5, 9.0))
+            voiced = np.sin(2 * np.pi * np.cumsum(f0) / frame_rate)
+            breath = rng.uniform(0.3, 0.8) * rng.randn(samples)
+            x += (
+                (voiced + breath) * gate * (10 ** rng.uniform(-1.6, -0.7))
+            ).astype(np.float32)
     return x
 
 
@@ -140,12 +188,34 @@ def synth_batch(
         x = rng.randn(samples).astype(np.float32) * noise_level
         if rng.rand() < 0.5:
             speech, active = synth_speech(rng, samples, frame_rate)
-            if rng.rand() < 0.35:  # dialogue over a background score
-                x += 10 ** rng.uniform(-1.0, -0.3) * synth_nonspeech(
-                    rng, samples, frame_rate
-                )
             if rng.rand() < 0.3:  # roomy dialogue
                 speech = _reverb(rng, speech, frame_rate)
+            speech_power = float(
+                np.mean(speech[active > 0.5] ** 2) + 1e-12
+            )
+            if rng.rand() < 0.4:  # dialogue over a background score,
+                # mixed at a controlled speech-to-music ratio down to ~2 dB
+                bed = synth_nonspeech(rng, samples, frame_rate)
+                bed_power = float(np.mean(bed**2) + 1e-12)
+                smr_db = rng.uniform(2.0, 14.0)
+                x += bed * np.sqrt(
+                    speech_power / (10 ** (smr_db / 10.0)) / bed_power
+                )
+            if rng.rand() < 0.6:  # noisy scene: colored noise with a random
+                # spectral slope f^-α (α 0 = white … 1.2 = red-ish), at an
+                # SNR that reaches genuinely hard
+                noise = rng.randn(samples).astype(np.float32)
+                alpha = rng.uniform(0.0, 1.2)
+                if alpha > 0.05:
+                    spec = np.fft.rfft(noise)
+                    freqs = np.fft.rfftfreq(samples, 1.0 / frame_rate)
+                    spec *= 1.0 / np.maximum(freqs, 20.0) ** alpha
+                    noise = np.fft.irfft(spec, samples).astype(np.float32)
+                noise_power = float(np.mean(noise**2) + 1e-12)
+                snr_db = rng.uniform(0.0, 22.0)
+                x += noise * np.sqrt(
+                    speech_power / (10 ** (snr_db / 10.0)) / noise_power
+                )
             x += speech
             win_act = active[: n_windows * window].reshape(n_windows, window)
             labels[i] = (win_act.mean(axis=1) > 0.5).astype(np.float32)

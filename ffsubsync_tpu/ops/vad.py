@@ -185,23 +185,53 @@ def _webrtc_from_bands(bands, n_valid, ema_in, noise_in):
 def _device_dispatch(mode, sample_rate, frame_rate, non_speech_label,
                      fallback):
     """Shared chunk dispatch: the one-launch device program when the Pallas
-    path is on, otherwise the split-path ``fallback(pcm)``."""
+    path is on, otherwise the split-path ``fallback(pcm)``.
+
+    The returned callable also carries a pipelining API for callers that
+    stream PCM in (media/audio.py buffered mode): ``dispatch_async(chunk)``
+    enqueues a chunk and returns a lazy handle without blocking on the
+    device, and ``gather(handles)`` pulls all results in one blocking pass.
+    On the fallback path ``dispatch_async`` computes eagerly (still correct;
+    no overlap to win on a host-only detector).
+    """
     onelaunch = {"fn": None}
+
+    def _resolve():
+        from ffsubsync_tpu.ops.features import _pallas_enabled
+
+        if not _pallas_enabled():
+            return None
+        if onelaunch["fn"] is None:
+            onelaunch["fn"] = _make_onelaunch_detector(
+                mode, sample_rate, frame_rate, non_speech_label
+            )
+        return onelaunch["fn"]
 
     def _detect(chunk) -> np.ndarray:
         pcm = _pcm_bytes_to_i16(chunk)
         if len(pcm) == 0:
             return np.zeros(0)
-        from ffsubsync_tpu.ops.features import _pallas_enabled
+        fn = _resolve()
+        return fn(pcm) if fn is not None else fallback(pcm)
 
-        if _pallas_enabled():
-            if onelaunch["fn"] is None:
-                onelaunch["fn"] = _make_onelaunch_detector(
-                    mode, sample_rate, frame_rate, non_speech_label
-                )
-            return onelaunch["fn"](pcm)
+    def _dispatch_async(chunk):
+        pcm = _pcm_bytes_to_i16(chunk)
+        if len(pcm) == 0:
+            return np.zeros(0)
+        fn = _resolve()
+        if fn is not None:
+            return fn.dispatch_async(pcm)
         return fallback(pcm)
 
+    def _gather(handles) -> np.ndarray:
+        if not handles:
+            return np.zeros(0)
+        return np.concatenate(
+            [np.asarray(h, dtype=np.float64) for h in handles]
+        )
+
+    _detect.dispatch_async = _dispatch_async
+    _detect.gather = _gather
     return _detect
 
 
@@ -431,10 +461,36 @@ def _vad_program(
     return labels, ema_out, noise_out, carry_out, carry_len_out
 
 
+def _pipeline_chunk_samples(frame_rate: int, sample_rate: int) -> int:
+    """Input samples per pipelined dispatch of the buffered VAD.
+
+    Default 600 s: long enough that per-dispatch overhead is negligible,
+    short enough that host staging of chunk k+1 and the k+1 wire transfer
+    overlap chunk k's device execution (double buffering). Always a whole
+    number of analysis windows and of decimation strides. Override with
+    ``FFS_TPU_PIPELINE_SECONDS`` (0 disables chunking).
+    """
+    import os
+
+    seconds = float(os.environ.get("FFS_TPU_PIPELINE_SECONDS", "600"))
+    if seconds <= 0:
+        return 0
+    return int(seconds * sample_rate) * (frame_rate // sample_rate)
+
+
 def _make_onelaunch_detector(
     mode: str, sample_rate: int, frame_rate: int, non_speech_label: float
 ) -> Callable[[np.ndarray], np.ndarray]:
-    """Stateful chunk detector built on :func:`_vad_program` (device path)."""
+    """Stateful chunk detector built on :func:`_vad_program` (device path).
+
+    Large buffers are internally split into fixed pipeline chunks that are
+    dispatched back-to-back WITHOUT pulling results in between: jax's async
+    dispatch lets the host stage + ship chunk k+1 while the device runs
+    chunk k, hiding the host→device link time that otherwise serializes in
+    front of compute. Detector state (noise floor EMA, neural context) flows
+    chunk to chunk as lazy device values, so semantics match the streaming
+    path's chunking.
+    """
     import os
 
     from ffsubsync_tpu.models.neural_vad import CONTEXT, N_MELS, NeuralVAD
@@ -448,7 +504,7 @@ def _make_onelaunch_detector(
         "params": None,
     }
 
-    def _detect(pcm) -> np.ndarray:
+    def _ensure_params() -> None:
         if state["params"] is None:
             if mode == "webrtc":
                 # the silero branch is dead code under this mode; zero
@@ -463,6 +519,9 @@ def _make_onelaunch_detector(
                 state["params"] = NeuralVAD.load_default(
                     frame_rate=frame_rate, sample_rate=sample_rate
                 ).params
+
+    def _dispatch(pcm) -> jnp.ndarray:
+        """Stage + enqueue one device program; returns LAZY device labels."""
         framed, mats, n_windows = prepare_staged_input(
             pcm, frame_rate, sample_rate
         )
@@ -487,8 +546,32 @@ def _make_onelaunch_detector(
             mode,
             interpret,
         )
-        return np.asarray(labels[:n_windows], dtype=np.float64)
+        return labels[:n_windows]
 
+    def _detect(pcm) -> np.ndarray:
+        _ensure_params()
+        pcm = _pcm_bytes_to_i16(pcm) if isinstance(pcm, bytes) else pcm
+        chunk = _pipeline_chunk_samples(frame_rate, sample_rate)
+        if chunk <= 0 or len(pcm) <= chunk:
+            return np.asarray(_dispatch(pcm), dtype=np.float64)
+        # enqueue every chunk before pulling any result: host staging and
+        # wire transfers of later chunks overlap device compute of earlier
+        # ones, and the single pull at the end pays one link round trip
+        pending = [
+            _dispatch(pcm[pos : pos + chunk])
+            for pos in range(0, len(pcm), chunk)
+        ]
+        return np.concatenate(
+            [np.asarray(p, dtype=np.float64) for p in pending]
+        )
+
+    def _detect_async(pcm) -> jnp.ndarray:
+        """Enqueue one chunk; returns lazy device labels (no host pull)."""
+        _ensure_params()
+        pcm = _pcm_bytes_to_i16(pcm) if isinstance(pcm, bytes) else pcm
+        return _dispatch(pcm)
+
+    _detect.dispatch_async = _detect_async
     return _detect
 
 

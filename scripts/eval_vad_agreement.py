@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+# -*- coding: utf-8 -*-
+"""Offset-agreement harness: does every ``--vad`` mode sync to the same
+answer, end to end?
+
+Synthetic mode (default): fabricates N perturbed movies with a KNOWN speech
+timeline (models/eval_data.perturbed_movie scenarios: clean, µ-law,
+telephone, noisy, music bed, applause/laughter interludes), shifts the
+subtitles by a known per-movie offset, runs the full sync pipeline
+(``sync.run()`` with a WAV reference) once per VAD mode, and reports each
+mode's offset MAE against ground truth plus the worst cross-mode
+disagreement.
+
+Real-media mode: pass ``--pairs ref1.mkv:in1.srt [ref2:in2 ...]`` to run the
+same cross-mode comparison on actual files (no ground truth; the report is
+pairwise agreement). This makes "check the VADs against real movies" a one
+command affair the moment real media is available.
+
+Prints one JSON line; human details go to stderr.
+"""
+import argparse
+import json
+import os
+import shutil
+import struct
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _write_wav(path, pcm_i16, frame_rate):
+    data = pcm_i16.astype("<i2").tobytes()
+    with open(path, "wb") as f:
+        f.write(b"RIFF")
+        f.write(struct.pack("<I", 36 + len(data)))
+        f.write(b"WAVEfmt ")
+        f.write(struct.pack("<IHHIIHH", 16, 1, 1, frame_rate, frame_rate * 2, 2, 16))
+        f.write(b"data")
+        f.write(struct.pack("<I", len(data)))
+        f.write(data)
+
+
+def _ts(t: float) -> str:
+    ms = int(round(t * 1000))
+    return "%02d:%02d:%02d,%03d" % (
+        ms // 3600000, ms % 3600000 // 60000, ms % 60000 // 1000, ms % 1000
+    )
+
+
+def _write_srt(path, spans):
+    with open(path, "w") as f:
+        for i, (a, b) in enumerate(s for s in spans if s[0] >= 0):
+            f.write("%d\n%s --> %s\nline %d\n\n" % (i + 1, _ts(a), _ts(b), i + 1))
+
+
+def _sync_offset(reference, srtin, vad, tmpdir):
+    from ffsubsync_tpu.cli import make_parser
+    from ffsubsync_tpu.sync import run as sync_run
+
+    out = os.path.join(tmpdir, "out_%s.srt" % vad.replace(":", "_"))
+    args = make_parser().parse_args(
+        [reference, "-i", srtin, "-o", out, "--vad", vad]
+    )
+    result = sync_run(args)
+    return result["offset_seconds"]
+
+
+def run_synthetic(vads, minutes, frame_rate, seed):
+    from ffsubsync_tpu.models.eval_data import MOVIE_SCENARIOS, perturbed_movie
+
+    rng = np.random.RandomState(seed)
+    rows = []  # (scenario, truth, {vad: offset})
+    tmpdir = tempfile.mkdtemp(prefix="ffs_agreement_")
+    try:
+        for i, scenario in enumerate(MOVIE_SCENARIOS):
+            pcm, spans = perturbed_movie(
+                scenario, minutes * 60.0, frame_rate, seed=seed + i
+            )
+            truth = round(float(rng.uniform(-20.0, 20.0)), 2)
+            wav = os.path.join(tmpdir, "%s.wav" % scenario)
+            srt = os.path.join(tmpdir, "%s.srt" % scenario)
+            _write_wav(wav, pcm, frame_rate)
+            _write_srt(srt, [(a - truth, b - truth) for a, b in spans])
+            offsets = {}
+            for vad in vads:
+                got = _sync_offset(wav, srt, vad, tmpdir)
+                offsets[vad] = got
+                log(
+                    "  %-16s %-16s truth %+7.2f got %s"
+                    % (
+                        scenario,
+                        vad,
+                        truth,
+                        "None" if got is None else "%+7.2f" % got,
+                    )
+                )
+            rows.append((scenario, truth, offsets))
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    report = {"mode": "synthetic", "per_vad_mae_s": {}, "per_scenario": {}}
+    for vad in vads:
+        errs = [
+            abs(offsets[vad] - truth)
+            for _, truth, offsets in rows
+            if offsets[vad] is not None
+        ]
+        fails = sum(1 for _, _, offsets in rows if offsets[vad] is None)
+        report["per_vad_mae_s"][vad] = round(float(np.mean(errs)), 3) if errs else None
+        if fails:
+            report["per_vad_mae_s"][vad + "_failures"] = fails
+    for scenario, truth, offsets in rows:
+        report["per_scenario"][scenario] = {
+            "truth": truth,
+            **{v: (None if o is None else round(o, 3)) for v, o in offsets.items()},
+        }
+    return report
+
+
+def run_real(vads, pairs):
+    rows = []
+    tmpdir = tempfile.mkdtemp(prefix="ffs_agreement_")
+    try:
+        for ref, srtin in pairs:
+            offsets = {}
+            for vad in vads:
+                offsets[vad] = _sync_offset(ref, srtin, vad, tmpdir)
+                log("  %-40s %-16s -> %s" % (os.path.basename(ref), vad, offsets[vad]))
+            rows.append((ref, offsets))
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    report = {"mode": "real", "pairwise_max_disagreement_s": {}, "per_file": {}}
+    for ref, offsets in rows:
+        vals = [o for o in offsets.values() if o is not None]
+        spread = round(max(vals) - min(vals), 3) if len(vals) > 1 else None
+        report["per_file"][ref] = {**offsets, "spread_s": spread}
+    return report
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vads", default="fused,webrtc,silero,auditok")
+    ap.add_argument("--minutes", type=float, default=3.0)
+    ap.add_argument("--frame-rate", type=int, default=12000)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--pairs",
+        nargs="*",
+        help="real media: reference:srtin pairs (skips synthetic mode)",
+    )
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    vads = args.vads.split(",")
+    if args.pairs:
+        pairs = [tuple(p.rsplit(":", 1)) for p in args.pairs]
+        report = run_real(vads, pairs)
+    else:
+        report = run_synthetic(vads, args.minutes, args.frame_rate, args.seed)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

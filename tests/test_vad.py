@@ -199,3 +199,55 @@ def test_single_backend_onelaunch_matches_split(mode, monkeypatch):
     one = factory(sample_rate, frame_rate, 0.0)(pcm)
     assert len(one) == len(split)
     np.testing.assert_allclose(one, split, atol=0.02)
+
+
+def test_pipelined_dispatch_matches_manual_chunks(monkeypatch):
+    """Internal pipeline chunking (async dispatch, one pull) is EXACTLY the
+    same computation as feeding the chunks through the state-carrying
+    detector one at a time."""
+    import numpy as np
+    import ffsubsync_tpu.ops.vad as vad_mod
+    from ffsubsync_tpu.models.synth_data import speech_signal_for_spans
+
+    monkeypatch.setenv("FFS_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("FFS_TPU_PIPELINE_SECONDS", "6")
+    frame_rate, sample_rate = 8000, 100
+    spans = [(2.0, 4.0), (7.5, 9.0), (14.0, 16.5)]
+    wav = speech_signal_for_spans(20.0, spans, frame_rate, speech_level=0.35)
+    pcm = np.clip(wav * 32767, -32768, 32767).astype(np.int16)
+
+    pipelined = vad_mod.make_fused_detector(sample_rate, frame_rate, 0.0)(pcm)
+    det = vad_mod.make_fused_detector(sample_rate, frame_rate, 0.0)
+    chunk = vad_mod._pipeline_chunk_samples(frame_rate, sample_rate)
+    assert chunk == 6 * frame_rate
+    manual = np.concatenate(
+        [det(pcm[i : i + chunk]) for i in range(0, len(pcm), chunk)]
+    )
+    np.testing.assert_array_equal(pipelined, manual)
+
+
+def test_dispatch_async_gather_matches_sync(monkeypatch):
+    """detector.dispatch_async + gather == calling the detector per chunk."""
+    import numpy as np
+    import ffsubsync_tpu.ops.vad as vad_mod
+    from ffsubsync_tpu.models.synth_data import speech_signal_for_spans
+
+    monkeypatch.setenv("FFS_TPU_PALLAS_INTERPRET", "1")
+    frame_rate, sample_rate = 8000, 100
+    wav = speech_signal_for_spans(
+        14.0, [(2.0, 4.0), (8.0, 10.0)], frame_rate, speech_level=0.35
+    )
+    pcm = np.clip(wav * 32767, -32768, 32767).astype(np.int16)
+    chunk = frame_rate * 5
+
+    det_sync = vad_mod.make_fused_detector(sample_rate, frame_rate, 0.0)
+    expected = np.concatenate(
+        [det_sync(pcm[i : i + chunk]) for i in range(0, len(pcm), chunk)]
+    )
+    det = vad_mod.make_fused_detector(sample_rate, frame_rate, 0.0)
+    handles = [
+        det.dispatch_async(pcm[i : i + chunk].tobytes())
+        for i in range(0, len(pcm), chunk)
+    ]
+    got = det.gather(handles)
+    np.testing.assert_array_equal(got, expected)
