@@ -20,6 +20,12 @@ bench-batch:
 precompile:
 	python scripts/precompile.py 90
 
+eval-vad:  # adversarial per-condition VAD accuracy (refreshes EVAL.md)
+	python scripts/eval_neural_vad.py --update-eval-md
+
+eval-agreement:  # end-to-end per---vad offset MAE over perturbed movies
+	python scripts/eval_vad_agreement.py
+
 clean:
 	$(MAKE) -C native clean
 	rm -rf build dist *.egg-info

@@ -215,19 +215,24 @@ def _device_dispatch(mode, sample_rate, frame_rate, non_speech_label,
         return fn(pcm) if fn is not None else fallback(pcm)
 
     def _dispatch_async(chunk):
+        """Returns a list of result handles (lazy device arrays on the
+        device path, eager np arrays on the fallback path)."""
         pcm = _pcm_bytes_to_i16(chunk)
         if len(pcm) == 0:
-            return np.zeros(0)
+            return []
         fn = _resolve()
         if fn is not None:
             return fn.dispatch_async(pcm)
-        return fallback(pcm)
+        return [fallback(pcm)]
 
     def _gather(handles) -> np.ndarray:
-        if not handles:
+        flat = []
+        for h in handles:
+            flat.extend(h) if isinstance(h, list) else flat.append(h)
+        if not flat:
             return np.zeros(0)
         return np.concatenate(
-            [np.asarray(h, dtype=np.float64) for h in handles]
+            [np.asarray(h, dtype=np.float64) for h in flat]
         )
 
     _detect.dispatch_async = _dispatch_async
@@ -565,11 +570,19 @@ def _make_onelaunch_detector(
             [np.asarray(p, dtype=np.float64) for p in pending]
         )
 
-    def _detect_async(pcm) -> jnp.ndarray:
-        """Enqueue one chunk; returns lazy device labels (no host pull)."""
+    def _detect_async(pcm) -> list:
+        """Enqueue a buffer; returns a LIST of lazy device labels (no host
+        pull). Splits at the same pipeline-chunk boundaries as ``_detect``
+        so async and sync entry points are the same computation."""
         _ensure_params()
         pcm = _pcm_bytes_to_i16(pcm) if isinstance(pcm, bytes) else pcm
-        return _dispatch(pcm)
+        chunk = _pipeline_chunk_samples(frame_rate, sample_rate)
+        if chunk <= 0 or len(pcm) <= chunk:
+            return [_dispatch(pcm)]
+        return [
+            _dispatch(pcm[pos : pos + chunk])
+            for pos in range(0, len(pcm), chunk)
+        ]
 
     _detect.dispatch_async = _detect_async
     return _detect

@@ -158,3 +158,49 @@ def test_buffered_vad_spills_to_streaming_when_cap_exceeded(
     assert len(signal) == 20 * 100
     for s, e in spans:
         assert signal[int(s * 100) + 20 : int(e * 100) - 20].mean() > 0.4
+
+
+def test_buffered_pipeline_dispatch_matches_manual(tmp_path, monkeypatch):
+    """Buffered mode with pipelined async dispatch produces exactly the same
+    speech signal as feeding the same chunks through a detector by hand
+    (state must thread correctly through the async dispatches)."""
+    import ffsubsync_tpu.media.audio as audio_mod
+    import ffsubsync_tpu.ops.vad as vad_mod
+    from ffsubsync_tpu.media.audio import VideoSpeechSource
+    from tests.helpers import write_wav as _write_wav
+
+    monkeypatch.setenv("FFS_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("FFS_TPU_PIPELINE_SECONDS", "8")
+    # shrink the decode read buffer to 3 s so the 30 s file spans many reads
+    monkeypatch.setattr(audio_mod, "WINDOWS_PER_BUFFER", 300)
+    frame_rate = 8000
+    spans = [(2.0, 4.5), (9.0, 11.0), (16.0, 18.5), (23.0, 25.0)]
+    wav = speech_signal_for_spans(30.0, spans, frame_rate, speech_level=0.35)
+    media = os.path.join(str(tmp_path), "m.wav")
+    _write_wav(media, wav, frame_rate)
+
+    src = VideoSpeechSource(
+        vad="fused", sample_rate=100, frame_rate=frame_rate,
+        non_speech_label=0.0,
+    )
+    src.fit(media)
+    pipelined = src.transform()
+
+    # reproduce the media layer's dispatch boundaries: 3 s reads accumulate
+    # until >= the 8 s pipeline chunk, so dispatches cover 9 s + 9 s + 9 s + 3 s
+    pcm = np.clip(wav * 32767, -32768, 32767).astype(np.int16)
+    det = vad_mod.make_fused_detector(100, frame_rate, 0.0)
+    read = 300 * (frame_rate // 100)
+    flush = vad_mod._pipeline_chunk_samples(frame_rate, 100)
+    parts, held, manual = [], 0, []
+    for i in range(0, len(pcm), read):
+        parts.append(pcm[i : i + read])
+        held += len(parts[-1])
+        if held >= flush:
+            manual.append(det(np.concatenate(parts)))
+            parts, held = [], 0
+    if parts:
+        manual.append(det(np.concatenate(parts)))
+    manual = np.concatenate(manual)
+    assert len(pipelined) == len(manual)
+    np.testing.assert_array_equal(pipelined, manual)
