@@ -38,6 +38,17 @@ logger = logging.getLogger(__name__)
 WINDOWS_PER_BUFFER = 10000  # ~100 s of audio per staged chunk
 
 
+def _join_pcm_parts(parts):
+    """One contiguous buffer from accumulated PCM chunks. Single-part lists
+    pass through untouched (the zero-copy WAV case); mixed types never occur
+    (a source yields either bytes or int16 arrays for its whole run)."""
+    if len(parts) == 1:
+        return parts[0]
+    if isinstance(parts[0], np.ndarray):
+        return np.concatenate(parts)
+    return b"".join(parts)
+
+
 class VideoSpeechSource:
     """Speech extraction from a video/audio reference."""
 
@@ -218,7 +229,12 @@ class VideoSpeechSource:
         return self._decode_rate()
 
     def _iter_pcm_chunks(self, fname: str, bytes_per_buffer: int):
-        """Yield raw PCM chunks: ffmpeg pipe normally, in-process for WAV."""
+        """Yield raw PCM chunks: ffmpeg pipe normally, in-process for WAV.
+
+        ffmpeg chunks are ``bytes``; native-WAV chunks are int16 ndarrays
+        (zero-copy memmap slices on the hot path) — every consumer of PCM
+        chunks accepts both, and skipping the bytes round trip saves two
+        full passes over a movie's PCM on a bandwidth-limited host."""
         if self._use_native_wav(fname):
             logger.info("decoding WAV natively (no ffmpeg subprocess)")
             reader = WavReader(fname)
@@ -228,7 +244,7 @@ class VideoSpeechSource:
                 start_seconds=self.start_seconds,
                 max_duration_seconds=self.max_duration_seconds,
             ):
-                yield chunk.tobytes()
+                yield chunk
             return
         process = subprocess.Popen(
             self._build_ffmpeg_args(fname), **subprocess_args(include_stdout=True)
@@ -323,14 +339,19 @@ class VideoSpeechSource:
             for in_bytes in self._iter_pcm_chunks(
                 fname, bytes_per_window * WINDOWS_PER_BUFFER
             ):
-                newstuff = len(in_bytes) / float(bytes_per_frame) / pcm_rate
+                chunk_nbytes = (
+                    in_bytes.nbytes
+                    if isinstance(in_bytes, np.ndarray)
+                    else len(in_bytes)
+                )
+                newstuff = chunk_nbytes / float(bytes_per_frame) / pcm_rate
                 progress.update(newstuff)
                 if buffered:
                     pcm_parts.append(in_bytes)
-                    buffered_bytes += len(in_bytes)
+                    buffered_bytes += chunk_nbytes
                     if pipeline_bytes and buffered_bytes >= pipeline_bytes:
                         pending_handles.append(
-                            dispatch_async(b"".join(pcm_parts))
+                            dispatch_async(_join_pcm_parts(pcm_parts))
                         )
                         pcm_parts = []
                         buffered_bytes = 0
@@ -351,10 +372,10 @@ class VideoSpeechSource:
                     media_bstring.append(detector(in_bytes))
         if buffered and pending_handles:
             if pcm_parts:
-                pending_handles.append(dispatch_async(b"".join(pcm_parts)))
+                pending_handles.append(dispatch_async(_join_pcm_parts(pcm_parts)))
             media_bstring.append(gather(pending_handles))
         elif buffered and pcm_parts:
-            media_bstring.append(detector(b"".join(pcm_parts)))
+            media_bstring.append(detector(_join_pcm_parts(pcm_parts)))
         if len(media_bstring) == 0:
             raise ValueError(
                 "Unable to detect speech. "

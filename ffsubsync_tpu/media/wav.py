@@ -90,6 +90,8 @@ class WavReader:
         return self.n_frames / float(self.sample_rate)
 
     def _to_mono_i16(self, raw: np.ndarray) -> np.ndarray:
+        if self.channels == 1 and self._dtype == np.dtype("<i2"):
+            return raw  # already mono s16le — zero-copy
         frames = raw.reshape(-1, self.channels)
         if self._dtype.kind == "u":  # 8-bit offset binary → centered
             mono = (frames.astype(np.float32).mean(axis=1) - 128.0) * self._scale
@@ -115,6 +117,28 @@ class WavReader:
         if max_duration_seconds is not None:
             end_frame = min(end_frame, start_frame + int(max_duration_seconds * src_rate))
         frames_per_chunk = int(chunk_seconds * src_rate)
+        if (
+            src_rate == target_rate
+            and self.channels == 1
+            and self._dtype == np.dtype("<i2")
+        ):
+            # the hot case (mono s16le at the target rate): map the data
+            # section and yield slices — the host's one pass over the PCM
+            # happens in the consumer (VAD staging), driven by page faults,
+            # instead of an eager read-copy here
+            data = np.memmap(
+                self.fname,
+                dtype="<i2",
+                mode="r",
+                offset=self.data_offset,
+                shape=(self.n_frames,),
+            )
+            pos = start_frame
+            while pos < end_frame:
+                n = min(frames_per_chunk, end_frame - pos)
+                yield data[pos : pos + n]
+                pos += n
+            return
         prev_tail: Optional[np.ndarray] = None  # one source sample of overlap
         with open(self.fname, "rb") as f:
             pos = start_frame

@@ -63,6 +63,8 @@ def _pcm_bytes_to_i16(chunk: bytes) -> np.ndarray:
     if isinstance(chunk, np.ndarray):
         if chunk.dtype == np.uint8:  # reference passes uint8 views of s16le
             return chunk.view(np.int16)
+        if chunk.dtype == np.int16:
+            return chunk  # already s16 (possibly a zero-copy memmap slice)
         return chunk.astype(np.int16)
     return np.frombuffer(chunk, np.int16)
 
