@@ -290,6 +290,7 @@ MOVIE_SCENARIOS = (
     "music_bed",
     "applause_breaks",
     "laughter_breaks",
+    "babble_breaks",
 )
 
 
@@ -335,10 +336,16 @@ def perturbed_movie(
         x = x + _scaled_to_snr(x, _pink_noise(rng, samples, frame_rate), 4.0)
     elif scenario == "music_bed":
         x = x + _scaled_to_snr(x, _plucked_music(rng, samples, frame_rate), 6.0)
-    elif scenario in ("applause_breaks", "laughter_breaks"):
+    elif scenario in ("applause_breaks", "laughter_breaks", "babble_breaks"):
         # drop hard negatives into the longer dialogue gaps: a VAD that
-        # fires on them corrupts the speech timeline and skews the offset
-        bed_fn = _applause if scenario == "applause_breaks" else _crowd_laughter
+        # fires on them corrupts the speech timeline and skews the offset.
+        # babble_breaks is the end-to-end expression of the crowd_babble
+        # window condition — party scenes between dialogue
+        bed_fn = {
+            "applause_breaks": _applause,
+            "laughter_breaks": _crowd_laughter,
+            "babble_breaks": _crowd_babble,
+        }[scenario]
         gaps = [
             (b1, a2)
             for (_, b1), (a2, _) in zip(spans[:-1], spans[1:])

@@ -34,10 +34,13 @@ from ffsubsync_tpu.ops.features import frames_per_window
 logger = logging.getLogger(__name__)
 
 N_MELS = 40
-HIDDEN = 64
+HIDDEN = 96
 KERNEL = 5
-DILATIONS = (1, 2, 4, 8)
-CONTEXT = 64  # windows of left context carried across chunks
+# receptive field: ±2·Σd windows = ±1.26 s — wide enough to see phrase
+# structure (pauses between utterances), which is what separates dialogue
+# from continuous speech-like textures (crowd babble, laughter trains)
+DILATIONS = (1, 2, 4, 8, 16, 32)
+CONTEXT = 128  # windows of left context carried across chunks (≥ one-sided RF)
 
 WEIGHTS_FILENAME = "neural_vad_weights.npz"
 
@@ -155,12 +158,23 @@ class NeuralVAD:
         from ffsubsync_tpu.ops.features import analysis_rate
 
         path = default_weights_path(analysis_rate(frame_rate, sample_rate))
+        params = None
         if os.path.exists(path):
             loaded = np.load(path)
-            params = {k: jnp.asarray(loaded[k]) for k in loaded.files}
-        else:
+            expected = set(init_params(jax.random.PRNGKey(0)).keys())
+            if expected <= set(loaded.files):
+                params = {k: jnp.asarray(loaded[k]) for k in loaded.files}
+            else:
+                logger.warning(
+                    "neural VAD weights at %s predate the current "
+                    "architecture (missing %s); retrain with "
+                    "scripts/train_neural_vad.py",
+                    path,
+                    sorted(expected - set(loaded.files)),
+                )
+        if params is None:
             logger.warning(
-                "neural VAD weights not found at %s; using deterministic "
+                "no usable neural VAD weights at %s; using deterministic "
                 "random initialization (detection quality will be poor -- "
                 "run scripts/train_neural_vad.py)",
                 path,

@@ -9,7 +9,11 @@ one generator's quirks:
 - ``stable``: clean 1/h harmonic stack with sinusoidal syllabic AM and a
   random modulation floor (some talkers barely modulate);
 - ``fricative``: noise bursts band-passed into speech bands mixed with a weak
-  voiced component (consonant-heavy speech).
+  voiced component (consonant-heavy speech);
+- ``source-filter``: rounded glottal-pulse excitation shaped by formant
+  resonances that move between vowel targets — broadband excitation whose
+  spectrum comes from the filter, covering the class of speech that additive
+  stacks miss (and the class real vocoders/codecs produce).
 
 Non-speech: silence/noise beds, steady tones, music-like sustained harmonic
 chords (energetic but not syllabically modulated), plus adversarial classes
@@ -44,10 +48,48 @@ def _syllabic_am(rng, t) -> np.ndarray:
     )
 
 
+def _pulse_train_vowels(rng, samples: int, frame_rate: int) -> np.ndarray:
+    """Source-filter-class speech: rounded glottal pulses through formant
+    resonances that *move* between vowel-like targets every fraction of a
+    second. A different family than the additive harmonic stacks below —
+    broadband excitation whose spectrum is imposed by the filter, not a sum
+    of weighted sinusoids.
+    """
+    t = np.arange(samples) / frame_rate
+    # excitation: one rounded pulse per pitch period (random-walk pitch)
+    f0 = rng.uniform(90, 290)
+    wander = 1.0 + 0.03 * np.cumsum(rng.randn(samples)) / np.sqrt(samples)
+    phase = np.cumsum(f0 * wander) / frame_rate
+    frac = phase - np.floor(phase)
+    sharp = rng.uniform(60.0, 180.0)  # pulse sharpness (open-quotient-ish)
+    excitation = np.exp(-sharp * (frac - 0.08) ** 2).astype(np.float32)
+    excitation += rng.uniform(0.01, 0.06) * rng.randn(samples).astype(np.float32)
+    # filter: time-varying formants, re-sampled per vowel-length segment
+    out = np.zeros(samples, np.float32)
+    freqs = None
+    pos = 0
+    while pos < samples:
+        seg_len = min(int(rng.uniform(0.15, 0.6) * frame_rate), samples - pos)
+        seg = excitation[pos : pos + seg_len]
+        spec = np.fft.rfft(seg)
+        if freqs is None or len(freqs) != len(spec):
+            freqs = np.fft.rfftfreq(seg_len, 1.0 / frame_rate)
+        gain = np.full_like(freqs, 0.04)
+        for lo, hi in ((280, 900), (900, 2300), (2300, 3400)):
+            c = rng.uniform(lo, hi)
+            bw = rng.uniform(0.08, 0.22) * c
+            gain = gain + np.exp(-0.5 * ((freqs - c) / bw) ** 2)
+        gain *= 1.0 / (1.0 + (freqs / rng.uniform(2000.0, 4000.0)) ** 1.7)
+        out[pos : pos + seg_len] = np.fft.irfft(spec * gain, seg_len)
+        pos += seg_len
+    peak = float(np.max(np.abs(out))) + 1e-9
+    return (out / peak).astype(np.float32)
+
+
 def synth_speech(rng, samples: int, frame_rate: int) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (waveform, active_mask) for one speech clip."""
     t = np.arange(samples) / frame_rate
-    mode = rng.randint(3)
+    mode = rng.randint(4)
     f0 = rng.uniform(90, 300)
     if mode == 0:  # formant-weighted, jittered pitch
         jitter = 1.0 + 0.01 * np.cumsum(rng.randn(samples)) / np.sqrt(samples)
@@ -64,7 +106,7 @@ def synth_speech(rng, samples: int, frame_rate: int) -> Tuple[np.ndarray, np.nda
             voiced += (1.0 / h) * np.sin(
                 2 * np.pi * f0 * h * t + rng.uniform(0, 6.28)
             ).astype(np.float32)
-    else:  # fricative-heavy: band-passed noise + weak voiced component
+    elif mode == 2:  # fricative-heavy: band-passed noise + weak voiced component
         noise = rng.randn(samples).astype(np.float32)
         spec = np.fft.rfft(noise)
         freqs = np.fft.rfftfreq(samples, 1.0 / frame_rate)
@@ -75,6 +117,8 @@ def synth_speech(rng, samples: int, frame_rate: int) -> Tuple[np.ndarray, np.nda
             voiced += (0.4 / h) * np.sin(
                 2 * np.pi * f0 * h * t + rng.uniform(0, 6.28)
             ).astype(np.float32)
+    else:  # source-filter family: pulse excitation through moving formants
+        voiced = _pulse_train_vowels(rng, samples, frame_rate)
     active = _utterance_mask(rng, samples, frame_rate)
     level = 10 ** rng.uniform(-1.5, -0.3)
     envelope = _syllabic_am(rng, t) * active * level
@@ -91,9 +135,26 @@ def _reverb(rng, x: np.ndarray, frame_rate: int) -> np.ndarray:
     return out
 
 
-def synth_nonspeech(rng, samples: int, frame_rate: int) -> np.ndarray:
+def _negative_mode(rng) -> int:
+    """Weighted non-speech class draw. Babble and laughter dominate: they
+    share the most cues with dialogue (voiced, formant-shaped, modulated)
+    and are where a VAD that over-recalls noisy speech fails hardest."""
+    u = rng.rand()
+    if u < 0.30:
+        return 6  # crowd babble
+    if u < 0.50:
+        return 7  # laughter-class burst trains
+    if u < 0.625:
+        return 4  # transient trains
+    if u < 0.75:
+        return 5  # note onsets
+    return rng.randint(4)  # benign beds: silence/tones/chords/sustained
+
+
+def synth_nonspeech(rng, samples: int, frame_rate: int, mode=None) -> np.ndarray:
     t = np.arange(samples) / frame_rate
-    mode = rng.randint(8)
+    if mode is None:
+        mode = _negative_mode(rng)
     x = np.zeros(samples, np.float32)
     if mode == 0:
         pass  # noise floor only (added by caller)
@@ -148,11 +209,13 @@ def synth_nonspeech(rng, samples: int, frame_rate: int) -> np.ndarray:
             x[pos : pos + nl] += (level * env * note).astype(np.float32)
             pos += nl
     elif mode == 6:  # crowd babble: many overlapped talkers -> texture
-        voices = rng.randint(6, 14)
+        # voices draw from every speech family (incl. source-filter), so the
+        # negative tracks whatever cues the positive class carries
+        voices = rng.randint(6, 17)
         for _ in range(voices):
             v, _active = synth_speech(rng, samples, frame_rate)
             x += np.roll(v, rng.randint(samples)).astype(np.float32)
-        x *= 2.5 / voices
+        x *= rng.uniform(1.8, 3.2) / voices
     else:  # laughter-class: overlapping regular voiced burst trains,
         # hard-gated at syllable rate with pitch declination — rhythmic and
         # harmonic like speech, but periodic rather than phrase-structured
@@ -176,13 +239,21 @@ def synth_batch(
     clip_seconds: float,
     frame_rate: int,
     sample_rate: int,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """(pcm int16 [n, samples], window labels float [n, windows])."""
+    return_weights: bool = False,
+) -> Tuple[np.ndarray, ...]:
+    """(pcm int16 [n, samples], window labels float [n, windows]).
+
+    With ``return_weights``, also returns per-clip loss weights [n]: the
+    voiced adversarial negatives (babble, laughter) are up-weighted — a
+    detector that over-recalls noisy speech pays for it there, and those
+    classes are a small slice of the clip stream even after oversampling.
+    """
     window = frame_rate // sample_rate
     samples = int(clip_seconds * frame_rate)
     n_windows = samples // window
     pcm = np.zeros((n_clips, samples), np.float32)
     labels = np.zeros((n_clips, n_windows), np.float32)
+    weights = np.ones(n_clips, np.float32)
     for i in range(n_clips):
         noise_level = 10 ** rng.uniform(-3.5, -1.5)
         x = rng.randn(samples).astype(np.float32) * noise_level
@@ -193,17 +264,31 @@ def synth_batch(
             speech_power = float(
                 np.mean(speech[active > 0.5] ** 2) + 1e-12
             )
-            if rng.rand() < 0.4:  # dialogue over a background score,
-                # mixed at a controlled speech-to-music ratio down to ~2 dB
-                bed = synth_nonspeech(rng, samples, frame_rate)
+            if rng.rand() < 0.5:  # dialogue over a background bed, mixed at
+                # a controlled speech-to-bed ratio down to 0 dB. Beds are
+                # drawn to sharpen the two boundaries the hard negatives
+                # probe: crowd babble under a dominant voice (cocktail-party
+                # foreground speech — "coherent voice over babble = speech",
+                # "babble alone = not"), and onset-heavy music under speech
+                u = rng.rand()
+                if u < 0.4:
+                    bed_mode = 6  # crowd babble bed
+                    smr_db = rng.uniform(3.0, 12.0)
+                elif u < 0.65:
+                    bed_mode = 5  # note-onset music bed
+                    smr_db = rng.uniform(0.0, 12.0)
+                else:
+                    bed_mode = rng.randint(4)  # benign tones/chords/sustained
+                    smr_db = rng.uniform(0.0, 14.0)
+                bed = synth_nonspeech(rng, samples, frame_rate, mode=bed_mode)
                 bed_power = float(np.mean(bed**2) + 1e-12)
-                smr_db = rng.uniform(2.0, 14.0)
                 x += bed * np.sqrt(
                     speech_power / (10 ** (smr_db / 10.0)) / bed_power
                 )
-            if rng.rand() < 0.6:  # noisy scene: colored noise with a random
+            if rng.rand() < 0.75:  # noisy scene: colored noise with a random
                 # spectral slope f^-α (α 0 = white … 1.2 = red-ish), at an
-                # SNR that reaches genuinely hard
+                # SNR that reaches genuinely hard — half the draws come from
+                # an explicit hard band so low-SNR recall gets real gradient
                 noise = rng.randn(samples).astype(np.float32)
                 alpha = rng.uniform(0.0, 1.2)
                 if alpha > 0.05:
@@ -212,7 +297,10 @@ def synth_batch(
                     spec *= 1.0 / np.maximum(freqs, 20.0) ** alpha
                     noise = np.fft.irfft(spec, samples).astype(np.float32)
                 noise_power = float(np.mean(noise**2) + 1e-12)
-                snr_db = rng.uniform(0.0, 22.0)
+                snr_db = (
+                    rng.uniform(-2.0, 8.0) if rng.rand() < 0.5
+                    else rng.uniform(0.0, 22.0)
+                )
                 x += noise * np.sqrt(
                     speech_power / (10 ** (snr_db / 10.0)) / noise_power
                 )
@@ -220,9 +308,14 @@ def synth_batch(
             win_act = active[: n_windows * window].reshape(n_windows, window)
             labels[i] = (win_act.mean(axis=1) > 0.5).astype(np.float32)
         else:
-            x += synth_nonspeech(rng, samples, frame_rate)
+            mode = _negative_mode(rng)
+            x += synth_nonspeech(rng, samples, frame_rate, mode=mode)
+            if mode in (6, 7):  # babble / laughter: the hard negatives
+                weights[i] = 2.5
         pcm[i] = x
     pcm16 = np.clip(pcm * 32767, -32768, 32767).astype(np.int16)
+    if return_weights:
+        return pcm16, labels, weights
     return pcm16, labels
 
 

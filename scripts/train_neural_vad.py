@@ -55,10 +55,23 @@ def main() -> int:
     mel_fb = jnp.asarray(mel_filterbank(n_freqs, args.frame_rate, neural_vad.N_MELS))
 
     params = neural_vad.init_params(jax.random.PRNGKey(args.seed))
-    opt = optax.adam(args.lr)
+    # warmup→cosine decay: the late-phase small steps matter for the fine
+    # boundaries (babble vs dialogue) that a constant lr jitters over, and
+    # the warmup + global-norm clip keep the first noisy batches (hard-SNR
+    # clips produce near-saturated BCE) from blowing up the deeper net
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=args.lr,
+        warmup_steps=min(100, max(args.steps // 10, 1)),
+        decay_steps=max(args.steps, 1),
+        end_value=args.lr * 0.05,
+    )
+    opt = optax.chain(
+        optax.clip_by_global_norm(1.0), optax.adam(schedule)
+    )
     opt_state = opt.init(params)
 
-    def loss_fn(params, pcm_batch, label_batch):
+    def loss_fn(params, pcm_batch, label_batch, weight_batch):
         def clip_loss(pcm, labels):
             feats = log_mel_features(pcm, mel_fb, window)
             probs = neural_vad.apply_model(params, feats)
@@ -68,22 +81,27 @@ def main() -> int:
                     + (1 - labels) * jnp.log(1 - probs + eps))
             return jnp.mean(bce)
 
-        return jnp.mean(jax.vmap(clip_loss)(pcm_batch, label_batch))
+        per_clip = jax.vmap(clip_loss)(pcm_batch, label_batch)
+        return jnp.sum(per_clip * weight_batch) / jnp.sum(weight_batch)
 
     @jax.jit
-    def step(params, opt_state, pcm_batch, label_batch):
-        loss, grads = jax.value_and_grad(loss_fn)(params, pcm_batch, label_batch)
+    def step(params, opt_state, pcm_batch, label_batch, weight_batch):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, pcm_batch, label_batch, weight_batch
+        )
         updates, opt_state = opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
     rng = np.random.RandomState(args.seed)
     for i in range(args.steps):
-        pcm16, labels = synth_batch(
-            rng, args.batch, args.clip_seconds, args.frame_rate, args.sample_rate
+        pcm16, labels, weights = synth_batch(
+            rng, args.batch, args.clip_seconds, args.frame_rate,
+            args.sample_rate, return_weights=True,
         )
         params, opt_state, loss = step(
-            params, opt_state, jnp.asarray(pcm16), jnp.asarray(labels)
+            params, opt_state, jnp.asarray(pcm16), jnp.asarray(labels),
+            jnp.asarray(weights),
         )
         if i % 50 == 0 or i == args.steps - 1:
             print("step %4d  loss %.4f" % (i, float(loss)))
