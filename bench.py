@@ -186,31 +186,6 @@ def main() -> int:
     return 0
 
 
-def _write_wav(path: str, pcm_i16: np.ndarray, frame_rate: int) -> None:
-    import struct
-
-    data = pcm_i16.astype("<i2").tobytes()
-    with open(path, "wb") as f:
-        f.write(b"RIFF")
-        f.write(struct.pack("<I", 36 + len(data)))
-        f.write(b"WAVEfmt ")
-        f.write(
-            struct.pack(
-                "<IHHIIHH", 16, 1, 1, frame_rate, frame_rate * 2, 2, 16
-            )
-        )
-        f.write(b"data")
-        f.write(struct.pack("<I", len(data)))
-        f.write(data)
-
-
-def _format_srt_ts(t: float) -> str:
-    ms = int(round(t * 1000))
-    return "%02d:%02d:%02d,%03d" % (
-        ms // 3600000, ms % 3600000 // 60000, ms % 60000 // 1000, ms % 1000
-    )
-
-
 def _bench_cli_end_to_end(
     pcm, frame_rate, sub_spans, vad_name, true_offset, log
 ):
@@ -221,6 +196,7 @@ def _bench_cli_end_to_end(
 
     from ffsubsync_tpu.cli import make_parser
     from ffsubsync_tpu.sync import run as sync_run
+    from ffsubsync_tpu.utils.fixtures import write_srt_spans, write_wav_i16
 
     tmpdir = tempfile.mkdtemp(prefix="ffs_bench_")
     try:
@@ -228,14 +204,9 @@ def _bench_cli_end_to_end(
         srt_path = os.path.join(tmpdir, "movie.srt")
         out_path = os.path.join(tmpdir, "synced.srt")
         t0 = time.perf_counter()
-        _write_wav(wav_path, pcm, frame_rate)
+        write_wav_i16(wav_path, pcm, frame_rate)
         log("wrote bench WAV in %.2f s" % (time.perf_counter() - t0))
-        with open(srt_path, "w") as f:
-            for i, (a, b) in enumerate(s for s in sub_spans if s[0] >= 0):
-                f.write(
-                    "%d\n%s --> %s\nline %d\n\n"
-                    % (i + 1, _format_srt_ts(a), _format_srt_ts(b), i + 1)
-                )
+        write_srt_spans(srt_path, sub_spans)
         e2e_s = None
         err_ms = None
         for attempt in range(2):  # first run may compile WAV-path buckets
@@ -245,6 +216,11 @@ def _bench_cli_end_to_end(
             t0 = time.perf_counter()
             result = sync_run(args)
             e2e_s = time.perf_counter() - t0
+            if result.get("offset_seconds") is None:  # failed sync: run()
+                # reports retval!=0 / None offset rather than raising
+                log("e2e cli run %d: %.3f s (SYNC FAILED)" % (attempt, e2e_s))
+                err_ms = None
+                continue
             err_ms = abs(result["offset_seconds"] - true_offset) * 1000.0
             log(
                 "e2e cli run %d: %.3f s (offset err %.1f ms)"

@@ -8,6 +8,7 @@ path usable on hosts without ffmpeg). Supports PCM16/PCM8/float32 WAVs, any
 channel count (mixed down to mono), with linear resampling to the target rate.
 """
 import logging
+import os
 import struct
 from typing import Iterator, Optional, Tuple
 
@@ -83,7 +84,11 @@ class WavReader:
                 "unsupported WAV format %d/%d-bit" % (self.audio_format, self.bits)
             )
         bytes_per_frame = self.channels * self._dtype.itemsize
-        self.n_frames = self.data_size // bytes_per_frame
+        # clamp to the real payload: truncated downloads and streaming
+        # writers (placeholder/0xFFFFFFFF data sizes) claim more than the
+        # file holds, and the memmap path would otherwise refuse to map
+        avail = max(0, os.path.getsize(fname) - self.data_offset)
+        self.n_frames = min(self.data_size, avail) // bytes_per_frame
 
     @property
     def duration_seconds(self) -> float:

@@ -19,6 +19,7 @@ speech presence per analysis window (sample_rate windows per second), plus an
 evaluation mask that excludes windows near label transitions (annotation
 ambiguity, as in standard VAD scoring).
 """
+import zlib
 from typing import Callable, Dict, List, Tuple
 
 import numpy as np
@@ -372,7 +373,9 @@ def condition_clips(
     seed: int = 0,
 ) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """[(pcm_int16, labels, eval_mask)] for one named condition."""
-    rng = np.random.RandomState(seed ^ hash(name) % (2**31))
+    # zlib.crc32 is stable across processes; str hash() is salted per
+    # interpreter run and would make the "seeded" eval non-reproducible
+    rng = np.random.RandomState((seed ^ zlib.crc32(name.encode())) % (2**31))
     window = frame_rate // sample_rate
     samples = int(clip_seconds * frame_rate)
     out = []

@@ -161,16 +161,24 @@ class NeuralVAD:
         params = None
         if os.path.exists(path):
             loaded = np.load(path)
-            expected = set(init_params(jax.random.PRNGKey(0)).keys())
-            if expected <= set(loaded.files):
+            expected = init_params(jax.random.PRNGKey(0))
+            mismatched = sorted(
+                set(expected)
+                - {
+                    k
+                    for k in loaded.files
+                    if k in expected and loaded[k].shape == expected[k].shape
+                }
+            )
+            if not mismatched:
                 params = {k: jnp.asarray(loaded[k]) for k in loaded.files}
             else:
                 logger.warning(
                     "neural VAD weights at %s predate the current "
-                    "architecture (missing %s); retrain with "
+                    "architecture (missing/mis-shaped: %s); retrain with "
                     "scripts/train_neural_vad.py",
                     path,
-                    sorted(expected - set(loaded.files)),
+                    mismatched,
                 )
         if params is None:
             logger.warning(

@@ -109,5 +109,11 @@ class ProgressReporter:
             print("%d" % int(self.processed_seconds * 100.0 / self.total_seconds))
             sys.stdout.flush()
         if self.gui_mode and self._pbar_output is not None:
-            # gui mode runs python -u, so no explicit flush needed
-            print(self._pbar_output.read())
+            # drain whatever stderr the redirect captured since the last
+            # update (read() would start at the post-write position and
+            # return nothing); gui mode runs python -u, so no explicit flush
+            captured = self._pbar_output.getvalue()
+            if captured:
+                self._pbar_output.seek(0)
+                self._pbar_output.truncate(0)
+                print(captured)

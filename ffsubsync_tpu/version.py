@@ -67,17 +67,20 @@ def _version_from_git() -> Optional[str]:
 
 
 def _detect_version() -> str:
-    # 1. build-time pin written by setup.py (release artifacts)
+    # 1. live git checkout — takes precedence over a lingering generated
+    # _version.py so a rebuild after new commits/tags never re-pins the
+    # stale version the previous build wrote (release artifacts carry no
+    # git metadata, so they fall through to the pin)
+    from_git = _version_from_git()
+    if from_git is not None:
+        return from_git
+    # 2. build-time pin written by setup.py (release artifacts)
     try:
         from ffsubsync_tpu._version import version  # type: ignore
 
         return version
     except ImportError:
         pass
-    # 2. live git checkout
-    from_git = _version_from_git()
-    if from_git is not None:
-        return from_git
     # 3. installed package metadata
     try:
         from importlib.metadata import version as dist_version

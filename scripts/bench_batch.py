@@ -95,13 +95,15 @@ def main() -> int:
     t0 = time.perf_counter()
     results = run_once()
     log("warmup took %.2f s" % (time.perf_counter() - t0))
-    elapsed = float("inf")
-    for i in range(3):
+    run_times = []
+    for i in range(int(os.environ.get("BENCH_RUNS", "3"))):
         t0 = time.perf_counter()
         results = run_once()
         run_s = time.perf_counter() - t0
         log("run %d: %.3f s" % (i, run_s))
-        elapsed = min(elapsed, run_s)
+        run_times.append(run_s)
+    run_times.sort()
+    elapsed = run_times[0]
 
     errs = []
     for i in range(episodes):
@@ -120,6 +122,10 @@ def main() -> int:
                 "unit": "syncs/sec/chip",
                 "vs_baseline": round(vs_baseline, 2),
                 "offsets_exact": bool(ok),
+                "timing": "best-of-%d" % len(run_times),
+                "best_s": round(run_times[0], 3),
+                "median_s": round(run_times[len(run_times) // 2], 3),
+                "worst_s": round(run_times[-1], 3),
             }
         )
     )

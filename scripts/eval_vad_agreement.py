@@ -22,7 +22,6 @@ import argparse
 import json
 import os
 import shutil
-import struct
 import sys
 import tempfile
 
@@ -35,29 +34,10 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _write_wav(path, pcm_i16, frame_rate):
-    data = pcm_i16.astype("<i2").tobytes()
-    with open(path, "wb") as f:
-        f.write(b"RIFF")
-        f.write(struct.pack("<I", 36 + len(data)))
-        f.write(b"WAVEfmt ")
-        f.write(struct.pack("<IHHIIHH", 16, 1, 1, frame_rate, frame_rate * 2, 2, 16))
-        f.write(b"data")
-        f.write(struct.pack("<I", len(data)))
-        f.write(data)
-
-
-def _ts(t: float) -> str:
-    ms = int(round(t * 1000))
-    return "%02d:%02d:%02d,%03d" % (
-        ms // 3600000, ms % 3600000 // 60000, ms % 60000 // 1000, ms % 1000
-    )
-
-
-def _write_srt(path, spans):
-    with open(path, "w") as f:
-        for i, (a, b) in enumerate(s for s in spans if s[0] >= 0):
-            f.write("%d\n%s --> %s\nline %d\n\n" % (i + 1, _ts(a), _ts(b), i + 1))
+from ffsubsync_tpu.utils.fixtures import (  # noqa: E402
+    write_srt_spans as _write_srt,
+    write_wav_i16 as _write_wav,
+)
 
 
 def _sync_offset(reference, srtin, vad, tmpdir):

@@ -1,6 +1,5 @@
 # -*- coding: utf-8 -*-
 """Shared test helpers: synthetic audio + WAV writing."""
-import struct
 
 import numpy as np
 
@@ -29,21 +28,10 @@ def synth_speechlike(duration_s, speech_spans, frame_rate=48000, seed=0,
 
 
 def write_wav(path, waveform, frame_rate=48000, channels=1):
-    """Minimal PCM16 WAV writer."""
-    pcm = np.clip(waveform * 32767, -32768, 32767).astype("<i2")
-    if channels > 1:
-        pcm = np.repeat(pcm[:, None], channels, axis=1)
-    data = pcm.tobytes()
-    with open(path, "wb") as f:
-        f.write(b"RIFF")
-        f.write(struct.pack("<I", 36 + len(data)))
-        f.write(b"WAVE")
-        f.write(b"fmt ")
-        f.write(struct.pack("<IHHIIHH", 16, 1, channels, frame_rate,
-                            frame_rate * channels * 2, channels * 2, 16))
-        f.write(b"data")
-        f.write(struct.pack("<I", len(data)))
-        f.write(data)
+    """Minimal PCM16 WAV writer (shared implementation)."""
+    from ffsubsync_tpu.utils.fixtures import write_wav_i16
+
+    write_wav_i16(path, waveform, frame_rate, channels=channels)
 
 
 def spans_from_srt_text(srt_text):

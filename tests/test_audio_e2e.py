@@ -204,3 +204,36 @@ def test_buffered_pipeline_dispatch_matches_manual(tmp_path, monkeypatch):
     manual = np.concatenate(manual)
     assert len(pipelined) == len(manual)
     np.testing.assert_array_equal(pipelined, manual)
+
+
+def test_truncated_wav_reads_available_frames(tmp_path):
+    """Headers that claim more data than the file holds (truncated download,
+    streaming writer with a placeholder size) must clamp to the real payload
+    instead of failing to mmap — the old read path decoded to EOF."""
+    import numpy as np
+    from ffsubsync_tpu.media.wav import WavReader
+    from tests.helpers import write_wav
+
+    path = tmp_path / "trunc.wav"
+    write_wav(str(path), np.random.RandomState(0).randn(16000) * 0.1, 8000)
+    blob = path.read_bytes()
+    path.write_bytes(blob[: len(blob) // 2])  # cut payload, keep header
+    reader = WavReader(str(path))
+    total = sum(len(c) for c in reader.iter_chunks(target_rate=8000))
+    assert total == reader.n_frames
+    assert 0 < total < 16000
+
+
+def test_gui_mode_resurfaces_captured_stderr(capsys):
+    """gui-mode parity (speech_transformers.py:688-741): stderr captured
+    during extraction is re-printed on stdout, once, at the next update."""
+    import sys
+
+    from ffsubsync_tpu.utils.progress import ProgressReporter
+
+    with ProgressReporter(10.0, gui_mode=True) as progress:
+        print("stray-warning", file=sys.stderr)
+        progress.update(5.0)
+        progress.update(5.0)
+    out = capsys.readouterr().out
+    assert out.count("stray-warning") == 1
