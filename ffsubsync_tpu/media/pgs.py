@@ -105,6 +105,8 @@ class PGSSpeechSource:
     # PGS is already in the MKV timebase, so its duration cannot be compared
     # against the SRT to infer a framerate ratio
     num_frames: None = None
+    # packet-timing extraction runs no audio pipeline; align on the host
+    prefer_host_align = True
 
     def __init__(
         self,

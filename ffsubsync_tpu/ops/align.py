@@ -27,6 +27,7 @@ means the subtitles fire *early* and must be shifted later;
 """
 import logging
 import math
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import List, Optional, Sequence, Tuple, Union
@@ -143,6 +144,63 @@ def _offset_window(
 RefLike = Union[RasterSpec, np.ndarray]
 
 
+def _resolve_host_align(prefer_host: bool) -> bool:
+    """Whether to score candidates on the host instead of the device.
+
+    ``FFS_TPU_HOST_ALIGN=1``/``0`` force the choice; otherwise the caller's
+    preference stands. The host path exists because the alignment problem is
+    host-sized whenever no audio pipeline is running: a movie-length 100 Hz
+    signal is ~0.5M samples, a few rfft calls in numpy. Initializing a device
+    session just for that costs orders of magnitude more than the math —
+    especially on remote-attached TPU frontends — and it is exactly what the
+    reference itself does on the host (ffsubsync/aligners.py:70-74).
+    """
+    env = os.environ.get("FFS_TPU_HOST_ALIGN")
+    if env == "1":
+        return True
+    if env == "0":
+        return False
+    return prefer_host
+
+
+def _host_pm(signal_or_spec: RefLike, n: int) -> np.ndarray:
+    """±1-map a reference or candidate onto an FFT buffer of length *n*."""
+    pm = np.zeros(n, np.float64)
+    if isinstance(signal_or_spec, RasterSpec):
+        raw = signal_or_spec.materialize()
+    else:
+        raw = np.asarray(signal_or_spec, np.float64)
+    pm[: len(raw)] = 2.0 * raw - 1.0
+    return pm
+
+
+def _align_candidates_host(
+    ref: RefLike,
+    candidates: Sequence[RasterSpec],
+    max_offset_samples: Optional[int],
+    n: int,
+) -> List["Alignment"]:
+    """Numpy mirror of :func:`_align_specs_kernel` — same contract surface.
+
+    Candidates are scored one at a time (a [K, n] float64 batch would cost
+    ~100 MB of host RAM for nothing; K is single-digit). Offsets are gathered
+    in descending order so ``np.argmax``'s first-maximum tie-break matches the
+    device kernel and the reference (aligners.py:41-48).
+    """
+    ref_pm = _host_pm(ref, n)
+    ref_f = np.fft.rfft(ref_pm)
+    out: List[Alignment] = []
+    for cand in candidates:
+        sub_pm = _host_pm(cand, n)
+        c2 = np.fft.irfft(np.conj(np.fft.rfft(sub_pm)) * ref_f, n=n)
+        hi, cnt = _offset_window(n, cand.n_samples, max_offset_samples)
+        offs = hi - np.arange(cnt)
+        best_off = int(offs[int(np.argmax(c2[np.mod(offs, n)]))])
+        score = float(np.dot(sub_pm, np.roll(ref_pm, -best_off)))
+        out.append(Alignment(score, best_off))
+    return out
+
+
 def _ref_length(ref: RefLike) -> int:
     if isinstance(ref, RasterSpec):
         return ref.n_samples
@@ -173,8 +231,14 @@ def align_candidates(
     ref: RefLike,
     candidates: Sequence[RasterSpec],
     max_offset_samples: Optional[int] = None,
+    prefer_host: bool = False,
 ) -> List[Alignment]:
     """Score every candidate against the reference in one device launch.
+
+    With ``prefer_host`` (or ``FFS_TPU_HOST_ALIGN=1``) the same search runs
+    in numpy on the host — the right call when no device session exists yet
+    (subtitle↔subtitle or serialized-speech references), where spinning one
+    up would dwarf the math.
 
     Raises :class:`FailedToFindAlignmentException` when either side is empty,
     matching the reference's guard (aligners.py:58-66).
@@ -191,6 +255,8 @@ def align_candidates(
     if not candidates:
         return []
     n = next_pow2(n_ref + max(c.n_samples for c in candidates))
+    if _resolve_host_align(prefer_host):
+        return _align_candidates_host(ref, candidates, max_offset_samples, n)
     k = len(candidates)
     c_pad = next_pow2(max(1, max(len(c.starts) for c in candidates)))
     starts = np.zeros((k, c_pad), np.int32)

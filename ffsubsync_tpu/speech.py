@@ -45,6 +45,10 @@ class SubtitleSpeechSource:
     down-weighting of stretched candidates.
     """
 
+    # as an alignment *reference* this source involves no audio pipeline, so
+    # scoring runs host-side (ops/align._resolve_host_align)
+    prefer_host_align = True
+
     def __init__(
         self,
         fmt: str = "srt",
@@ -114,6 +118,8 @@ class DeserializeSpeechSource:
     """
 
     num_frames: Optional[int] = None
+    # a deserialized signal needs no device session; align on the host
+    prefer_host_align = True
 
     def __init__(self, non_speech_label: float) -> None:
         self._non_speech_label = non_speech_label

@@ -133,6 +133,7 @@ def _run_gss_search(
     source_maker: Callable[[Optional[float]], Any],
     srtin: Optional[str],
     max_offset_samples: Optional[int],
+    prefer_host: bool = False,
 ) -> List[Tuple[Alignment, SubtitleSpeechSource]]:
     """Batched grid refinement of the framerate ratio (device-sized gss).
 
@@ -156,6 +157,7 @@ def _run_gss_search(
             ref_sig,
             [s.spec_ for s in sources],
             max_offset_samples=max_offset_samples,
+            prefer_host=prefer_host,
         )
         best_i = int(np.argmax([a.score for a in alignments]))
         logger.info(
@@ -222,6 +224,9 @@ def try_sync(
                 offset_samples = 0
             else:
                 ref_sig = ref_extractor.signal_or_spec()
+                prefer_host = bool(
+                    getattr(ref_extractor, "prefer_host_align", False)
+                )
                 max_offset_samples = abs(int(args.max_offset_seconds * SAMPLE_RATE))
                 # one batched device launch scores the whole discrete grid
                 # (and the inferred candidate); gss probes follow as small
@@ -233,6 +238,7 @@ def try_sync(
                     ref_sig,
                     [s.spec_ for s in batch],
                     max_offset_samples=max_offset_samples,
+                    prefer_host=prefer_host,
                 )
                 # selection order parity: grid, then gss records, then inferred
                 scored: List[Tuple[Alignment, SubtitleSpeechSource]] = list(
@@ -241,7 +247,11 @@ def try_sync(
                 if has_gss:
                     scored.extend(
                         _run_gss_search(
-                            ref_sig, source_maker, srtin, max_offset_samples
+                            ref_sig,
+                            source_maker,
+                            srtin,
+                            max_offset_samples,
+                            prefer_host=prefer_host,
                         )
                     )
                 if inferred_source is not None:

@@ -102,7 +102,8 @@ def test_offset_mask_excludes_negative_bound():
             assert result.offset == max_off
 
 
-def test_align_candidates_batched_matches_single():
+@pytest.mark.parametrize("prefer_host", [False, True])
+def test_align_candidates_batched_matches_single(prefer_host):
     rng = np.random.RandomState(1)
     ref = (rng.rand(2000) > 0.75).astype(float)
     ref_starts = np.nonzero(np.diff(np.concatenate([[0], ref])) > 0)[0]
@@ -134,10 +135,84 @@ def test_align_candidates_batched_matches_single():
             oracle_align(ref, spec.materialize(), max_offset_samples=100)
         )
     # batched launch must match per-candidate oracles
-    results = align_candidates(ref_spec, candidates, max_offset_samples=100)
+    results = align_candidates(
+        ref_spec, candidates, max_offset_samples=100, prefer_host=prefer_host
+    )
     for result, (escore, eoff) in zip(results, expected):
         assert result.offset == eoff
         assert result.score == pytest.approx(escore, abs=1e-2)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_host_align_matches_device(seed):
+    """The numpy host path and the device kernel are the same contract:
+    identical offsets, matching exact-dot scores, on both RasterSpec and
+    materialized ndarray references."""
+    rng = np.random.RandomState(seed)
+    ref = (rng.rand(1500) > 0.72).astype(float)
+    starts = np.nonzero(np.diff(np.concatenate([[0], ref])) > 0)[0]
+    ends = np.nonzero(np.diff(np.concatenate([ref, [0]])) < 0)[0] + 1
+    candidates = []
+    for shift, weight in ((-40, 1.0), (25, 0.958), (0, 1.0)):
+        candidates.append(
+            RasterSpec(
+                n_samples=1400,
+                starts=np.clip(starts - shift, 0, 1400).astype(np.int32),
+                ends=np.clip(ends - shift, 0, 1400).astype(np.int32),
+                weight=weight,
+                max_time=14.0,
+                sample_rate=100,
+            )
+        )
+    for ref_arg in (
+        ref,
+        RasterSpec(
+            n_samples=len(ref),
+            starts=starts.astype(np.int32),
+            ends=ends.astype(np.int32),
+            weight=1.0,
+            max_time=len(ref) / 100.0,
+            sample_rate=100,
+        ),
+    ):
+        on_device = align_candidates(
+            ref_arg, candidates, max_offset_samples=120, prefer_host=False
+        )
+        on_host = align_candidates(
+            ref_arg, candidates, max_offset_samples=120, prefer_host=True
+        )
+        for d, h in zip(on_device, on_host):
+            assert d.offset == h.offset
+            assert d.score == pytest.approx(h.score, abs=1e-2)
+
+
+def test_host_align_env_override(monkeypatch):
+    """FFS_TPU_HOST_ALIGN forces the path regardless of caller preference."""
+    from ffsubsync_tpu.ops import align as align_mod
+
+    calls = []
+    real = align_mod._align_candidates_host
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(align_mod, "_align_candidates_host", spy)
+    spec = RasterSpec(
+        n_samples=64,
+        starts=np.array([5], np.int32),
+        ends=np.array([20], np.int32),
+        weight=1.0,
+        max_time=0.64,
+        sample_rate=100,
+    )
+    monkeypatch.setenv("FFS_TPU_HOST_ALIGN", "1")
+    align_mod.align_candidates(spec, [spec], prefer_host=False)
+    assert calls  # env forced host
+    calls.clear()
+    monkeypatch.setenv("FFS_TPU_HOST_ALIGN", "0")
+    align_mod.align_candidates(spec, [spec], prefer_host=True)
+    assert not calls  # env forced device
 
 
 def test_next_pow2():
