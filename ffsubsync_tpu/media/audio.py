@@ -220,13 +220,36 @@ class VideoSpeechSource:
     def _pcm_rate(self, fname: str) -> int:
         """Rate of the PCM this source stages for detection.
 
-        ffmpeg decodes straight to the analysis rate; the native WAV reader
-        keeps ``frame_rate`` (its linear resampler must not downsample — the
-        proper half-band decimation happens in the device staging path).
+        ffmpeg decodes straight to the analysis rate. The native WAV reader
+        stays at the *file's* rate whenever the VAD stack can analyze it
+        as-is (integer windows at ``sample_rate``; trained neural weights
+        for the derived analysis rate when the mode needs them): the hot
+        mono-s16le case then streams zero-copy memmap slices with no
+        resampling at all, and the staging pass half-band decimates on the
+        one pass it already makes. Only rate-incompatible files (44.1 kHz
+        family, etc.) take the reader's linear resampler up to
+        ``frame_rate`` — never down (aliasing); proper decimation happens in
+        the device staging path.
         """
         if self._use_native_wav(fname):
+            file_rate = WavReader(fname).sample_rate
+            if file_rate % self.sample_rate == 0 and self._can_analyze_rate(
+                file_rate
+            ):
+                return file_rate
             return self.frame_rate
         return self._decode_rate()
+
+    def _can_analyze_rate(self, file_rate: int) -> bool:
+        from ffsubsync_tpu.ops.features import analysis_rate
+
+        if not ("silero" in self.vad or "fused" in self.vad):
+            return True
+        from ffsubsync_tpu.models.neural_vad import has_trained_weights
+
+        return has_trained_weights(
+            analysis_rate(file_rate, self.sample_rate)
+        )
 
     def _iter_pcm_chunks(self, fname: str, bytes_per_buffer: int):
         """Yield raw PCM chunks: ffmpeg pipe normally, in-process for WAV.
@@ -239,7 +262,7 @@ class VideoSpeechSource:
             logger.info("decoding WAV natively (no ffmpeg subprocess)")
             reader = WavReader(fname)
             for chunk in reader.iter_chunks(
-                target_rate=self.frame_rate,
+                target_rate=self._pcm_rate(fname),
                 chunk_seconds=float(WINDOWS_PER_BUFFER) / self.sample_rate,
                 start_seconds=self.start_seconds,
                 max_duration_seconds=self.max_duration_seconds,

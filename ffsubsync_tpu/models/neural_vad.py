@@ -131,6 +131,17 @@ def default_weights_path(rate: Optional[int] = None) -> str:
     return os.path.join(weights_dir, WEIGHTS_FILENAME)
 
 
+def has_trained_weights(rate: int) -> bool:
+    """Whether rate-specific trained weights ship for this *analysis* rate.
+
+    Callers that can choose the PCM rate (the native WAV reader) use this to
+    avoid feeding the net a log-mel layout it was never trained on."""
+    weights_dir = os.path.join(os.path.dirname(__file__), "weights")
+    return os.path.exists(
+        os.path.join(weights_dir, "neural_vad_weights_%d.npz" % rate)
+    )
+
+
 class NeuralVAD:
     """Chunked neural VAD inference with cross-chunk context carry.
 

@@ -237,3 +237,61 @@ def test_gui_mode_resurfaces_captured_stderr(capsys):
         progress.update(5.0)
     out = capsys.readouterr().out
     assert out.count("stray-warning") == 1
+
+
+def test_native_wav_stays_at_file_rate(tmp_path):
+    """A window-compatible WAV is staged at its own rate — zero-copy memmap
+    slices, no linear resample to frame_rate (the staging pass does any
+    decimation on the one pass it already makes)."""
+    from ffsubsync_tpu.media.audio import VideoSpeechSource
+    from tests.helpers import write_wav
+
+    path = str(tmp_path / "m12k.wav")
+    write_wav(path, np.random.RandomState(0).randn(12000 * 4) * 0.1, 12000)
+    src = VideoSpeechSource(
+        vad="fused", sample_rate=100, frame_rate=48000, non_speech_label=0.0
+    )
+    assert src._pcm_rate(path) == 12000
+    chunks = list(src._iter_pcm_chunks(path, 1 << 20))
+    assert all(c.dtype == np.int16 for c in chunks)
+    # hot path yields views of the file mapping, not resampled copies
+    assert all(isinstance(c.base, np.memmap) for c in chunks)
+
+
+def test_native_wav_incompatible_rate_resamples_up(tmp_path):
+    """44.1 kHz-family files can't hit integer 100 Hz windows: the reader
+    linear-resamples UP to frame_rate for neural modes (never down —
+    aliasing), but rate-agnostic VADs analyze the file rate directly."""
+    from ffsubsync_tpu.media.audio import VideoSpeechSource
+    from tests.helpers import write_wav
+
+    path = str(tmp_path / "m22k.wav")
+    write_wav(path, np.random.RandomState(0).randn(22050 * 2) * 0.1, 22050)
+    fused = VideoSpeechSource(
+        vad="fused", sample_rate=100, frame_rate=48000, non_speech_label=0.0
+    )
+    assert fused._pcm_rate(path) == 48000
+    webrtc = VideoSpeechSource(
+        vad="webrtc", sample_rate=100, frame_rate=48000, non_speech_label=0.0
+    )
+    # 22050 % 100 != 0 -> not window-compatible even for webrtc
+    assert webrtc._pcm_rate(path) == 48000
+
+
+def test_native_wav_rate_without_weights_falls_back(tmp_path):
+    """A compatible rate whose analysis rate has no shipped neural weights
+    must not be fed to the neural net: neural modes resample to frame_rate,
+    spectral modes keep the file rate."""
+    from ffsubsync_tpu.media.audio import VideoSpeechSource
+    from tests.helpers import write_wav
+
+    path = str(tmp_path / "m8k.wav")
+    write_wav(path, np.random.RandomState(0).randn(8000 * 2) * 0.1, 8000)
+    fused = VideoSpeechSource(
+        vad="fused", sample_rate=100, frame_rate=48000, non_speech_label=0.0
+    )
+    assert fused._pcm_rate(path) == 48000  # no neural_vad_weights_8000.npz
+    webrtc = VideoSpeechSource(
+        vad="webrtc", sample_rate=100, frame_rate=48000, non_speech_label=0.0
+    )
+    assert webrtc._pcm_rate(path) == 8000
