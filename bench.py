@@ -101,18 +101,18 @@ def main() -> int:
         )
 
     def run_once():
-        # the buffered product path (media/audio.py): one detector call over
-        # the whole PCM → a handful of device launches, then the batched
-        # candidate-search alignment launch
+        # the buffered product path (media/audio.py): async chunk dispatch,
+        # labels stay on device (LazySpeechSignal), the batched candidate
+        # search reads them there — only scores/offsets come back
         t0 = time.perf_counter()
         detector = make_detector(vad_name, SAMPLE_RATE, frame_rate, 0.0)
-        signal = detector(pcm)
+        signal = detector.gather([detector.dispatch_async(pcm)])
         t1 = time.perf_counter()
         results = align_candidates(
             signal, candidates, max_offset_samples=60 * SAMPLE_RATE
         )
         t2 = time.perf_counter()
-        log("  vad %.3f s | align %.3f s" % (t1 - t0, t2 - t1))
+        log("  vad dispatch %.3f s | align(+drain) %.3f s" % (t1 - t0, t2 - t1))
         return signal, results
 
     # --- warmup / compile ---------------------------------------------------
@@ -145,7 +145,7 @@ def main() -> int:
         "offset %.2f s (err %.1f ms) | VAD speech frac %.3f"
         % (
             elapsed, median_s, worst_s, ratios[best], got_offset,
-            offset_err_ms, (signal > 0.5).mean(),
+            offset_err_ms, (np.asarray(signal) > 0.5).mean(),
         )
     )
     if offset_err_ms > 100:

@@ -404,10 +404,23 @@ class VideoSpeechSource:
                 "Unable to detect speech. "
                 "Perhaps try specifying a different stream / track, or a different vad."
             )
-        self.video_speech_results_ = np.concatenate(media_bstring)
-        logger.info(
-            "total of speech segments: %s", np.sum(self.video_speech_results_)
-        )
+        if len(media_bstring) == 1 and hasattr(media_bstring[0], "device_value"):
+            # the whole reference went through the async device pipeline:
+            # keep the labels on the device — the aligner consumes them
+            # there, so no host pull (and no re-push) ever happens
+            self.video_speech_results_ = media_bstring[0]
+            logger.info(
+                "total of speech segments: %s",
+                self.video_speech_results_.sum(),
+            )
+        else:
+            self.video_speech_results_ = np.concatenate(
+                [np.asarray(m, dtype=np.float64) for m in media_bstring]
+            )
+            logger.info(
+                "total of speech segments: %s",
+                np.sum(self.video_speech_results_),
+            )
 
     # -- sync-core accessors ----------------------------------------------
 
@@ -420,3 +433,12 @@ class VideoSpeechSource:
     def signal_or_spec(self) -> Any:
         assert self.video_speech_results_ is not None
         return self.video_speech_results_
+
+    @property
+    def prefer_host_align(self) -> bool:
+        """Host-score only when the embedded-subs fallback produced cue
+        geometry (no audio pipeline — and so no device session — ever ran);
+        audio-derived labels live on the device and align there."""
+        from ffsubsync_tpu.subs.raster import RasterSpec
+
+        return isinstance(self.video_speech_results_, RasterSpec)

@@ -86,6 +86,16 @@ def _ref_pm_from_signal(values, length, n):
     return jnp.where(t < length, 2.0 * values.astype(jnp.float32) - 1.0, 0.0)
 
 
+@partial(jax.jit, static_argnames=("n",))
+def _ref_pm_from_device(values, n):
+    """±1-map a signal that already lives on the device, padding to *n* there
+    — the host never touches the label bytes."""
+    pm = 2.0 * values.astype(jnp.float32) - 1.0
+    return jnp.concatenate(
+        [pm, jnp.zeros((n - values.shape[0],), jnp.float32)]
+    )
+
+
 @partial(jax.jit, static_argnames=("n", "n_offsets"))
 def _align_specs_kernel(
     ref_pm, starts, ends, weights, n_samples, start_offs, cnts, n, n_offsets
@@ -209,6 +219,8 @@ def _ref_length(ref: RefLike) -> int:
 
 def prepare_ref_pm(ref: RefLike, n: int) -> jnp.ndarray:
     """Build the device-resident ±1 reference signal of FFT length *n*."""
+    if hasattr(ref, "device_value"):  # LazySpeechSignal: already on device
+        return _ref_pm_from_device(ref.device_value(), n)
     if isinstance(ref, RasterSpec):
         c = max(1, len(ref.starts))
         starts = np.zeros(c, np.int32)

@@ -184,6 +184,54 @@ def _webrtc_from_bands(bands, n_valid, ema_in, noise_in):
     return speech, ema_seq[out_t], jnp.exp(ln_noise[out_t])
 
 
+class LazySpeechSignal:
+    """VAD labels that stay on the device until host values are demanded.
+
+    The audio pipeline's speech signal is consumed by the *device* aligner:
+    round-tripping it through the host (pull ~MB of labels, then push an
+    FFT-padded copy right back) costs more link time than the entire device
+    computation. Chunk handles stay lazy; :meth:`device_value` concatenates
+    them on device, :meth:`materialize` is the ONE host pull (cached), and
+    ``__array__`` makes the wrapper a drop-in for numpy consumers
+    (serialization, the CPU fallback paths, tests).
+    """
+
+    def __init__(self, parts) -> None:
+        self._parts = [p for p in parts if p.shape[0]]
+        self._dev = None
+        self._np: Optional[np.ndarray] = None
+
+    def __len__(self) -> int:
+        return int(sum(p.shape[0] for p in self._parts))
+
+    def device_value(self):
+        """All labels as one device array (one concat launch, cached)."""
+        if self._dev is None:
+            if not self._parts:
+                self._dev = jnp.zeros((0,), jnp.float32)
+            elif len(self._parts) == 1:
+                self._dev = jnp.asarray(self._parts[0])
+            else:
+                self._dev = jnp.concatenate(
+                    [jnp.asarray(p) for p in self._parts]
+                )
+            self._parts = [self._dev]
+        return self._dev
+
+    def materialize(self) -> np.ndarray:
+        if self._np is None:
+            self._np = np.asarray(self.device_value(), dtype=np.float64)
+        return self._np
+
+    def __array__(self, dtype=None, copy=None):
+        out = self.materialize()
+        return out.astype(dtype) if dtype is not None else out
+
+    def sum(self) -> float:
+        """Device-side reduce; pulls one scalar (for the headline log line)."""
+        return float(jnp.sum(self.device_value()))
+
+
 def _device_dispatch(mode, sample_rate, frame_rate, non_speech_label,
                      fallback):
     """Shared chunk dispatch: the one-launch device program when the Pallas
@@ -227,15 +275,14 @@ def _device_dispatch(mode, sample_rate, frame_rate, non_speech_label,
             return fn.dispatch_async(pcm)
         return [fallback(pcm)]
 
-    def _gather(handles) -> np.ndarray:
+    def _gather(handles) -> "LazySpeechSignal":
+        """Collect dispatched handles WITHOUT pulling to the host: returns a
+        :class:`LazySpeechSignal` (numpy consumers get values via its
+        ``__array__``; the device aligner reads ``device_value()``)."""
         flat = []
         for h in handles:
             flat.extend(h) if isinstance(h, list) else flat.append(h)
-        if not flat:
-            return np.zeros(0)
-        return np.concatenate(
-            [np.asarray(h, dtype=np.float64) for h in flat]
-        )
+        return LazySpeechSignal(flat)
 
     _detect.dispatch_async = _dispatch_async
     _detect.gather = _gather
@@ -563,14 +610,14 @@ def _make_onelaunch_detector(
             return np.asarray(_dispatch(pcm), dtype=np.float64)
         # enqueue every chunk before pulling any result: host staging and
         # wire transfers of later chunks overlap device compute of earlier
-        # ones, and the single pull at the end pays one link round trip
+        # ones; chunks are concatenated ON DEVICE so the host pays exactly
+        # one pull round trip for the whole signal
         pending = [
             _dispatch(pcm[pos : pos + chunk])
             for pos in range(0, len(pcm), chunk)
         ]
-        return np.concatenate(
-            [np.asarray(p, dtype=np.float64) for p in pending]
-        )
+        joined = pending[0] if len(pending) == 1 else jnp.concatenate(pending)
+        return np.asarray(joined, dtype=np.float64)
 
     def _detect_async(pcm) -> list:
         """Enqueue a buffer; returns a LIST of lazy device labels (no host

@@ -295,3 +295,41 @@ def test_native_wav_rate_without_weights_falls_back(tmp_path):
         vad="webrtc", sample_rate=100, frame_rate=48000, non_speech_label=0.0
     )
     assert webrtc._pcm_rate(path) == 8000
+
+
+def test_audio_signal_stays_on_device_until_needed(tmp_path, monkeypatch):
+    """The buffered device pipeline must hand the aligner a lazy device
+    signal (no host pull), and that signal must align identically to its
+    materialized numpy value."""
+    from ffsubsync_tpu.media.audio import VideoSpeechSource
+    from ffsubsync_tpu.ops.align import align_candidates
+    from ffsubsync_tpu.ops.vad import LazySpeechSignal
+    from ffsubsync_tpu.subs.raster import rasterize_intervals
+    from tests.helpers import write_wav
+
+    monkeypatch.setenv("FFS_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("FFS_TPU_PIPELINE_SECONDS", "6")
+    frame_rate = 8000
+    spans = [(2.0, 4.5), (8.0, 11.0), (14.0, 16.0)]
+    wav = speech_signal_for_spans(20.0, spans, frame_rate, speech_level=0.35)
+    path = str(tmp_path / "m.wav")
+    write_wav(path, wav, frame_rate)
+    src = VideoSpeechSource(
+        vad="webrtc", sample_rate=100, frame_rate=frame_rate,
+        non_speech_label=0.0,
+    )
+    src.fit(path)
+    sig = src.signal_or_spec()
+    assert isinstance(sig, LazySpeechSignal)
+    assert not src.prefer_host_align
+    shift = 1.5
+    cand = rasterize_intervals([(a - shift, b - shift) for a, b in spans], 100)
+    lazy_result = align_candidates(sig, [cand], max_offset_samples=500)[0]
+    np_result = align_candidates(
+        sig.materialize(), [cand], max_offset_samples=500
+    )[0]
+    assert lazy_result.offset == np_result.offset == int(shift * 100)
+    assert lazy_result.score == pytest.approx(np_result.score, rel=1e-5)
+    # transform() (serialization path) still yields host float64
+    out = src.transform()
+    assert isinstance(out, np.ndarray) and out.dtype == np.float64
