@@ -38,13 +38,24 @@ def warm(minutes: float) -> None:
 
     # warm the REAL production programs: each --vad mode's detector is one
     # compiled device program per bucketed shape
+    signal = None
     for vad in ("fused", "webrtc", "silero", "auditok"):
         t0 = time.perf_counter()
-        make_detector(vad, SAMPLE_RATE, frame_rate, 0.0)(pcm)
+        det = make_detector(vad, SAMPLE_RATE, frame_rate, 0.0)
+        dispatch = getattr(det, "dispatch_async", None)
+        if dispatch is not None:
+            # the production path keeps labels on device (LazySpeechSignal)
+            out = det.gather([dispatch(pcm)])
+            out.materialize()
+            if vad == "fused":
+                signal = out
+        else:
+            det(pcm)
         log("  vad %s: %.1f s" % (vad, time.perf_counter() - t0))
 
     t0 = time.perf_counter()
-    signal = (rng.rand(n_windows) > 0.8).astype(np.float64)
+    if signal is None:
+        signal = (rng.rand(n_windows) > 0.8).astype(np.float64)
     cands = []
     for ratio in [1.0] + FRAMERATE_RATIOS + [1.0 / r for r in FRAMERATE_RATIOS]:
         starts = np.sort(
