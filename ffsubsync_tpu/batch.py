@@ -162,7 +162,11 @@ def sync_batch(
                 inferred = float(ref_nf) / sub_sources[0].num_frames
                 job_ratios.append(inferred)
                 sub_sources.append(maker(inferred))
-            sig = ref_sources[i].transform()
+            sig = ref_sources[i].signal_or_spec()
+            if not hasattr(sig, "device_value"):
+                # embedded-subs geometry or mixed streaming output:
+                # materialize to a host signal as before
+                sig = ref_sources[i].transform()
             if len(sig) == 0 or any(
                 len(s.spec_.starts) == 0 for s in sub_sources
             ):
@@ -171,7 +175,10 @@ def sync_batch(
                     "the reference or subtitles may contain no detectable "
                     "speech" % len(sig)
                 )
-            refs.append(np.asarray(sig, np.float32))
+            refs.append(
+                sig if hasattr(sig, "device_value")
+                else np.asarray(sig, np.float32)
+            )
             cands.append([s.spec_ for s in sub_sources])
             sources_per_job.append(sub_sources)
             live.append(i)

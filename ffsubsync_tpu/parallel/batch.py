@@ -66,6 +66,15 @@ def _single_sync_kernel(
     return best_score, best_off
 
 
+@partial(jax.jit, static_argnames=("n",))
+def _pad_ref_values(values, n):
+    """Zero-pad one device-resident reference to the batch FFT length —
+    the labels never round-trip through the host."""
+    return jnp.concatenate(
+        [values.astype(jnp.float32), jnp.zeros((n - values.shape[0],), jnp.float32)]
+    )
+
+
 @partial(jax.jit, static_argnames=("n", "n_offsets"))
 def _batched_sync_kernel(
     ref_values, ref_lens, starts, ends, weights, n_samples, start_offs, cnts,
@@ -95,7 +104,10 @@ class BatchAligner:
     ) -> List[List[Alignment]]:
         """One sharded launch scoring every file's candidate set.
 
-        ``refs`` are materialized speech signals; geometry/shape padding is
+        ``refs`` are speech signals — host arrays or device-resident
+        :class:`~ffsubsync_tpu.ops.vad.LazySpeechSignal`s (the batch VAD
+        pipeline's output); lazy refs are padded and stacked on device so
+        no label bytes cross the link. Geometry/shape padding is
         batch-global so the program compiles once per bucket.
         """
         b = len(refs)
@@ -122,7 +134,8 @@ class BatchAligner:
         n_devices = self.mesh.devices.size
         b_pad = -(-b // n_devices) * n_devices
 
-        ref_values = np.zeros((b_pad, n), np.float32)
+        any_lazy = any(hasattr(r, "device_value") for r in refs)
+        ref_values = None if any_lazy else np.zeros((b_pad, n), np.float32)
         ref_lens = np.zeros(b_pad, np.int32)
         starts = np.zeros((b_pad, k, c_pad), np.int32)
         ends = np.zeros((b_pad, k, c_pad), np.int32)
@@ -132,7 +145,8 @@ class BatchAligner:
         cnts = np.ones((b_pad, k), np.int32)
         for i in range(b):
             ref = refs[i]
-            ref_values[i, : len(ref)] = ref
+            if not any_lazy:
+                ref_values[i, : len(ref)] = ref
             ref_lens[i] = len(ref)
             for j, spec in enumerate(candidates_per_ref[i]):
                 starts[i, j, : len(spec.starts)] = spec.starts
@@ -143,6 +157,20 @@ class BatchAligner:
                     n, spec.n_samples, max_offset_samples
                 )
         sharding = NamedSharding(self.mesh, P("data"))
+        if any_lazy:
+            pads = []
+            for i in range(b_pad):
+                if i >= b:
+                    pads.append(jnp.zeros((n,), jnp.float32))
+                    continue
+                r = refs[i]
+                values = (
+                    r.device_value()
+                    if hasattr(r, "device_value")
+                    else jnp.asarray(np.asarray(r, np.float32))
+                )
+                pads.append(_pad_ref_values(values, n))
+            ref_values = jnp.stack(pads)
         args = [
             jax.device_put(a, sharding)
             for a in (ref_values, ref_lens, starts, ends, weights, n_samples,

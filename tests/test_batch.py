@@ -148,3 +148,42 @@ def test_write_file_stdout_does_not_close_fd(capsys):
     doc.write_file(None)
     doc.write_file(None)  # second write must not hit a closed fd
     print("still-alive")  # nor the caller's own stdout
+
+
+def test_batch_aligner_accepts_lazy_device_refs():
+    """BatchAligner must score LazySpeechSignal refs identically to their
+    materialized host values (device pad/stack path)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from ffsubsync_tpu.ops.vad import LazySpeechSignal
+    from ffsubsync_tpu.parallel.batch import BatchAligner
+    from ffsubsync_tpu.subs.raster import rasterize_intervals
+
+    rng = np.random.RandomState(0)
+    aligner = BatchAligner()
+    refs_np, refs_lazy, cands = [], [], []
+    for b in range(3):
+        spans = []
+        t = 1.0 + b
+        for _ in range(10):
+            ln = rng.uniform(0.5, 2.0)
+            spans.append((t, t + ln))
+            t += ln + rng.uniform(0.5, 2.0)
+        sig = rasterize_intervals(spans, 100).materialize()
+        refs_np.append(np.asarray(sig, np.float32))
+        # split into two device chunks like the async pipeline would
+        half = len(sig) // 2
+        refs_lazy.append(
+            LazySpeechSignal([jnp.asarray(sig[:half]), jnp.asarray(sig[half:])])
+        )
+        shift = 0.5 * (b + 1)
+        cands.append(
+            [rasterize_intervals([(a - shift, e - shift) for a, e in spans], 100)]
+        )
+    out_np = aligner.align_batch(refs_np, cands, max_offset_samples=500)
+    out_lazy = aligner.align_batch(refs_lazy, cands, max_offset_samples=500)
+    for b, (rn, rl) in enumerate(zip(out_np, out_lazy)):
+        assert rl[0].offset == rn[0].offset == int(0.5 * (b + 1) * 100)
+        assert rl[0].score == pytest.approx(rn[0].score, rel=1e-5)
