@@ -163,7 +163,7 @@ def sync_batch(
                 job_ratios.append(inferred)
                 sub_sources.append(maker(inferred))
             sig = ref_sources[i].signal_or_spec()
-            if not hasattr(sig, "device_value"):
+            if not hasattr(sig, "padded_values"):
                 # embedded-subs geometry or mixed streaming output:
                 # materialize to a host signal as before
                 sig = ref_sources[i].transform()
@@ -176,7 +176,7 @@ def sync_batch(
                     "speech" % len(sig)
                 )
             refs.append(
-                sig if hasattr(sig, "device_value")
+                sig if hasattr(sig, "padded_values")
                 else np.asarray(sig, np.float32)
             )
             cands.append([s.spec_ for s in sub_sources])

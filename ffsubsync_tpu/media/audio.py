@@ -241,15 +241,19 @@ class VideoSpeechSource:
         return self._decode_rate()
 
     def _can_analyze_rate(self, file_rate: int) -> bool:
-        from ffsubsync_tpu.ops.features import analysis_rate
+        from ffsubsync_tpu.ops.features import _MIN_ANALYSIS_RATE, analysis_rate
 
+        rate = analysis_rate(file_rate, self.sample_rate)
+        if rate > 2 * _MIN_ANALYSIS_RATE:
+            # decimation can't engage (44.1 kHz family): staying at the file
+            # rate would ship ~4x the wire bytes and blow the lane-aligned
+            # window budget — take the resample-to-frame_rate path instead
+            return False
         if not ("silero" in self.vad or "fused" in self.vad):
             return True
         from ffsubsync_tpu.models.neural_vad import has_trained_weights
 
-        return has_trained_weights(
-            analysis_rate(file_rate, self.sample_rate)
-        )
+        return has_trained_weights(rate)
 
     def _iter_pcm_chunks(self, fname: str, bytes_per_buffer: int):
         """Yield raw PCM chunks: ffmpeg pipe normally, in-process for WAV.
@@ -404,7 +408,7 @@ class VideoSpeechSource:
                 "Unable to detect speech. "
                 "Perhaps try specifying a different stream / track, or a different vad."
             )
-        if len(media_bstring) == 1 and hasattr(media_bstring[0], "device_value"):
+        if len(media_bstring) == 1 and hasattr(media_bstring[0], "padded_values"):
             # the whole reference went through the async device pipeline:
             # keep the labels on the device — the aligner consumes them
             # there, so no host pull (and no re-push) ever happens

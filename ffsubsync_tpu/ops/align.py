@@ -86,14 +86,6 @@ def _ref_pm_from_signal(values, length, n):
     return jnp.where(t < length, 2.0 * values.astype(jnp.float32) - 1.0, 0.0)
 
 
-@partial(jax.jit, static_argnames=("n",))
-def _ref_pm_from_device(values, n):
-    """±1-map a signal that already lives on the device, padding to *n* there
-    — the host never touches the label bytes."""
-    pm = 2.0 * values.astype(jnp.float32) - 1.0
-    return jnp.concatenate(
-        [pm, jnp.zeros((n - values.shape[0],), jnp.float32)]
-    )
 
 
 @partial(jax.jit, static_argnames=("n", "n_offsets"))
@@ -204,7 +196,9 @@ def _align_candidates_host(
         sub_pm = _host_pm(cand, n)
         c2 = np.fft.irfft(np.conj(np.fft.rfft(sub_pm)) * ref_f, n=n)
         hi, cnt = _offset_window(n, cand.n_samples, max_offset_samples)
-        offs = hi - np.arange(cnt)
+        # cnt can be 0 (max_offset_seconds=0): the device kernel degrades to
+        # scoring the single masked offset `hi` — mirror that exactly
+        offs = hi - np.arange(max(cnt, 1))
         best_off = int(offs[int(np.argmax(c2[np.mod(offs, n)]))])
         score = float(np.dot(sub_pm, np.roll(ref_pm, -best_off)))
         out.append(Alignment(score, best_off))
@@ -219,8 +213,12 @@ def _ref_length(ref: RefLike) -> int:
 
 def prepare_ref_pm(ref: RefLike, n: int) -> jnp.ndarray:
     """Build the device-resident ±1 reference signal of FFT length *n*."""
-    if hasattr(ref, "device_value"):  # LazySpeechSignal: already on device
-        return _ref_pm_from_device(ref.device_value(), n)
+    if hasattr(ref, "padded_values"):  # LazySpeechSignal: already on device
+        # device-side compact straight into the FFT buffer; the ±1-map
+        # program is shared with the host-pushed path (same [n] aval)
+        return _ref_pm_from_signal(
+            ref.padded_values(n), jnp.int32(len(ref)), n
+        )
     if isinstance(ref, RasterSpec):
         c = max(1, len(ref.starts))
         starts = np.zeros(c, np.int32)

@@ -184,43 +184,77 @@ def _webrtc_from_bands(bands, n_valid, ema_in, noise_in):
     return speech, ema_seq[out_t], jnp.exp(ln_noise[out_t])
 
 
+@partial(jax.jit, static_argnames=("n",))
+def _compact_chunks(arrays, n_valids, n):
+    """Scatter bucket-padded label chunks into one zero-filled [n] buffer.
+
+    Chunk i's masked write covers its full padded extent; the pad tail it
+    zeroes is immediately overwritten by chunk i+1's (later) write, and the
+    final chunk's tail lands in the buffer's zero region — so the result is
+    the exact concatenation of the valid prefixes, computed entirely from
+    *bucketed* static shapes (the per-chunk ``n_valid``s are traced scalars,
+    so no program ever specializes on a movie's exact length — the
+    CLAUDE.md bounded-compile-count invariant).
+    """
+    max_tpad = max(a.shape[0] for a in arrays)
+    out = jnp.zeros((n + max_tpad,), jnp.float32)
+    off = jnp.int32(0)
+    for arr, nv in zip(arrays, n_valids):
+        idx = jnp.arange(arr.shape[0], dtype=jnp.int32)
+        masked = jnp.where(idx < nv, arr.astype(jnp.float32), 0.0)
+        out = jax.lax.dynamic_update_slice(out, masked, (off,))
+        off = off + nv
+    return out[:n]
+
+
 class LazySpeechSignal:
     """VAD labels that stay on the device until host values are demanded.
 
     The audio pipeline's speech signal is consumed by the *device* aligner:
     round-tripping it through the host (pull ~MB of labels, then push an
     FFT-padded copy right back) costs more link time than the entire device
-    computation. Chunk handles stay lazy; :meth:`device_value` concatenates
-    them on device, :meth:`materialize` is the ONE host pull (cached), and
+    computation. Chunk handles stay lazy as ``(padded_labels, n_valid)``
+    pairs; :meth:`padded_values` compacts them on device into a target-length
+    buffer, :meth:`materialize` is the ONE host pull (cached), and
     ``__array__`` makes the wrapper a drop-in for numpy consumers
     (serialization, the CPU fallback paths, tests).
     """
 
     def __init__(self, parts) -> None:
-        self._parts = [p for p in parts if p.shape[0]]
-        self._dev = None
+        self._parts = []
+        for p in parts:
+            arr, nv = p if isinstance(p, tuple) else (p, int(p.shape[0]))
+            nv = min(int(nv), int(arr.shape[0]))
+            if nv > 0:
+                self._parts.append((arr, nv))
         self._np: Optional[np.ndarray] = None
 
     def __len__(self) -> int:
-        return int(sum(p.shape[0] for p in self._parts))
+        return sum(nv for _, nv in self._parts)
 
-    def device_value(self):
-        """All labels as one device array (one concat launch, cached)."""
-        if self._dev is None:
-            if not self._parts:
-                self._dev = jnp.zeros((0,), jnp.float32)
-            elif len(self._parts) == 1:
-                self._dev = jnp.asarray(self._parts[0])
-            else:
-                self._dev = jnp.concatenate(
-                    [jnp.asarray(p) for p in self._parts]
-                )
-            self._parts = [self._dev]
-        return self._dev
+    def padded_values(self, n: int):
+        """The signal as a device f32 [n] buffer, zeros beyond its length."""
+        assert n >= len(self), "target buffer shorter than the signal"
+        if self._np is not None:  # already pulled once: cheap host pad
+            out = np.zeros(n, np.float32)
+            out[: len(self._np)] = self._np
+            return jnp.asarray(out)
+        if not self._parts:
+            return jnp.zeros((n,), jnp.float32)
+        arrays = tuple(jnp.asarray(a) for a, _ in self._parts)
+        n_valids = tuple(jnp.int32(nv) for _, nv in self._parts)
+        return _compact_chunks(arrays, n_valids, n)
 
     def materialize(self) -> np.ndarray:
         if self._np is None:
-            self._np = np.asarray(self.device_value(), dtype=np.float64)
+            from ffsubsync_tpu.ops.pallas.frontend import padded_window_count
+
+            total = len(self)
+            if total == 0:
+                self._np = np.zeros(0)
+            else:
+                buf = self.padded_values(padded_window_count(total))
+                self._np = np.asarray(buf, dtype=np.float64)[:total]
         return self._np
 
     def __array__(self, dtype=None, copy=None):
@@ -229,7 +263,13 @@ class LazySpeechSignal:
 
     def sum(self) -> float:
         """Device-side reduce; pulls one scalar (for the headline log line)."""
-        return float(jnp.sum(self.device_value()))
+        if self._np is not None:
+            return float(np.sum(self._np))
+        if not self._parts:
+            return 0.0
+        from ffsubsync_tpu.ops.pallas.frontend import padded_window_count
+
+        return float(jnp.sum(self.padded_values(padded_window_count(len(self)))))
 
 
 def _device_dispatch(mode, sample_rate, frame_rate, non_speech_label,
@@ -278,7 +318,7 @@ def _device_dispatch(mode, sample_rate, frame_rate, non_speech_label,
     def _gather(handles) -> "LazySpeechSignal":
         """Collect dispatched handles WITHOUT pulling to the host: returns a
         :class:`LazySpeechSignal` (numpy consumers get values via its
-        ``__array__``; the device aligner reads ``device_value()``)."""
+        ``__array__``; the device aligner reads ``padded_values()``)."""
         flat = []
         for h in handles:
             flat.extend(h) if isinstance(h, list) else flat.append(h)
@@ -574,8 +614,11 @@ def _make_onelaunch_detector(
                     frame_rate=frame_rate, sample_rate=sample_rate
                 ).params
 
-    def _dispatch(pcm) -> jnp.ndarray:
-        """Stage + enqueue one device program; returns LAZY device labels."""
+    def _dispatch(pcm):
+        """Stage + enqueue one device program; returns a LAZY
+        ``(padded_labels, n_valid)`` pair. The labels keep their bucketed
+        pad so every downstream program sees bucketed static shapes only
+        (no executable ever specializes on a movie's exact length)."""
         framed, mats, n_windows = prepare_staged_input(
             pcm, frame_rate, sample_rate
         )
@@ -600,24 +643,23 @@ def _make_onelaunch_detector(
             mode,
             interpret,
         )
-        return labels[:n_windows]
+        return labels, n_windows
 
     def _detect(pcm) -> np.ndarray:
         _ensure_params()
         pcm = _pcm_bytes_to_i16(pcm) if isinstance(pcm, bytes) else pcm
         chunk = _pipeline_chunk_samples(frame_rate, sample_rate)
         if chunk <= 0 or len(pcm) <= chunk:
-            return np.asarray(_dispatch(pcm), dtype=np.float64)
+            return LazySpeechSignal([_dispatch(pcm)]).materialize()
         # enqueue every chunk before pulling any result: host staging and
         # wire transfers of later chunks overlap device compute of earlier
-        # ones; chunks are concatenated ON DEVICE so the host pays exactly
+        # ones; chunks are compacted ON DEVICE so the host pays exactly
         # one pull round trip for the whole signal
         pending = [
             _dispatch(pcm[pos : pos + chunk])
             for pos in range(0, len(pcm), chunk)
         ]
-        joined = pending[0] if len(pending) == 1 else jnp.concatenate(pending)
-        return np.asarray(joined, dtype=np.float64)
+        return LazySpeechSignal(pending).materialize()
 
     def _detect_async(pcm) -> list:
         """Enqueue a buffer; returns a LIST of lazy device labels (no host

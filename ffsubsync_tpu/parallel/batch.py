@@ -66,15 +66,6 @@ def _single_sync_kernel(
     return best_score, best_off
 
 
-@partial(jax.jit, static_argnames=("n",))
-def _pad_ref_values(values, n):
-    """Zero-pad one device-resident reference to the batch FFT length —
-    the labels never round-trip through the host."""
-    return jnp.concatenate(
-        [values.astype(jnp.float32), jnp.zeros((n - values.shape[0],), jnp.float32)]
-    )
-
-
 @partial(jax.jit, static_argnames=("n", "n_offsets"))
 def _batched_sync_kernel(
     ref_values, ref_lens, starts, ends, weights, n_samples, start_offs, cnts,
@@ -134,7 +125,7 @@ class BatchAligner:
         n_devices = self.mesh.devices.size
         b_pad = -(-b // n_devices) * n_devices
 
-        any_lazy = any(hasattr(r, "device_value") for r in refs)
+        any_lazy = any(hasattr(r, "padded_values") for r in refs)
         ref_values = None if any_lazy else np.zeros((b_pad, n), np.float32)
         ref_lens = np.zeros(b_pad, np.int32)
         starts = np.zeros((b_pad, k, c_pad), np.int32)
@@ -164,12 +155,13 @@ class BatchAligner:
                     pads.append(jnp.zeros((n,), jnp.float32))
                     continue
                 r = refs[i]
-                values = (
-                    r.device_value()
-                    if hasattr(r, "device_value")
-                    else jnp.asarray(np.asarray(r, np.float32))
-                )
-                pads.append(_pad_ref_values(values, n))
+                if hasattr(r, "padded_values"):
+                    # device-side compact to [n]; zeros beyond the signal
+                    pads.append(r.padded_values(n))
+                else:
+                    host = np.zeros(n, np.float32)
+                    host[: len(r)] = r
+                    pads.append(jnp.asarray(host))
             ref_values = jnp.stack(pads)
         args = [
             jax.device_put(a, sharding)

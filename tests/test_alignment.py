@@ -220,3 +220,20 @@ def test_next_pow2():
     assert next_pow2(2) == 2
     assert next_pow2(3) == 4
     assert next_pow2(1025) == 2048
+
+
+def test_zero_max_offset_host_matches_device():
+    """max_offset_samples=0 masks every offset; both paths must degrade to
+    the same Alignment (offset 0 scored) instead of crashing."""
+    spec = RasterSpec(
+        n_samples=256,
+        starts=np.array([10, 60], np.int32),
+        ends=np.array([30, 90], np.int32),
+        weight=1.0,
+        max_time=2.56,
+        sample_rate=100,
+    )
+    dev = align_candidates(spec, [spec], max_offset_samples=0, prefer_host=False)[0]
+    host = align_candidates(spec, [spec], max_offset_samples=0, prefer_host=True)[0]
+    assert dev.offset == host.offset
+    assert host.score == pytest.approx(dev.score, abs=1e-2)

@@ -276,6 +276,13 @@ def test_native_wav_incompatible_rate_resamples_up(tmp_path):
     )
     # 22050 % 100 != 0 -> not window-compatible even for webrtc
     assert webrtc._pcm_rate(path) == 48000
+    # 44100 % 100 == 0 BUT half-band decimation can never engage there:
+    # staying at 44.1 kHz would ship ~4x the wire bytes, so every VAD mode
+    # takes the resample-to-frame_rate path
+    path441 = str(tmp_path / "m441.wav")
+    write_wav(path441, np.random.RandomState(0).randn(44100) * 0.1, 44100)
+    assert fused._pcm_rate(path441) == 48000
+    assert webrtc._pcm_rate(path441) == 48000
 
 
 def test_native_wav_rate_without_weights_falls_back(tmp_path):
