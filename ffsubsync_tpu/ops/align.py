@@ -24,18 +24,19 @@ candidate search is **one jitted device launch**:
 Offset convention (derived from aligners.py:45-48, 70-74): a positive offset
 means the subtitles fire *early* and must be shifted later;
 ``offset_seconds = offset_samples / sample_rate``.
+
+This module is importable WITHOUT jax: the device kernels live in
+:mod:`ffsubsync_tpu.ops.align_device` and are imported lazily, so host-only
+syncs (srt↔srt, serialized references) skip the jax import and device
+session entirely.
 """
 import logging
 import math
 import os
 from dataclasses import dataclass
-from functools import partial
 from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np
-
-import jax
-import jax.numpy as jnp
 
 from ffsubsync_tpu.subs.raster import RasterSpec
 
@@ -56,73 +57,6 @@ class Alignment:
 
     score: float
     offset: int
-
-
-def _pm_kernel_raster(starts, ends, weight, n_valid_samples, n):
-    """On-device: interval geometry → ±1-mapped signal of static length *n*.
-
-    Padding cues are (0, 0) intervals whose +1/-1 scatter contributions cancel.
-    Values: ``2·w - 1`` on covered samples, ``-1`` on uncovered samples inside
-    the signal's true length, ``0`` beyond (the FFT zero-pad region).
-    """
-    diff = jnp.zeros((n + 1,), jnp.int32)
-    diff = diff.at[starts].add(1)
-    diff = diff.at[ends].add(-1)
-    count = jnp.cumsum(diff)[:n]
-    raw = jnp.where(count > 0, weight, 0.0).astype(jnp.float32)
-    t = jnp.arange(n, dtype=jnp.int32)
-    return jnp.where(t < n_valid_samples, 2.0 * raw - 1.0, 0.0)
-
-
-@partial(jax.jit, static_argnames=("n",))
-def _ref_pm_from_spec(starts, ends, weight, n_samples, n):
-    return _pm_kernel_raster(starts, ends, weight, n_samples, n)
-
-
-@partial(jax.jit, static_argnames=("n",))
-def _ref_pm_from_signal(values, length, n):
-    """±1-map a materialized signal (audio VAD / deserialized reference)."""
-    t = jnp.arange(n, dtype=jnp.int32)
-    return jnp.where(t < length, 2.0 * values.astype(jnp.float32) - 1.0, 0.0)
-
-
-
-
-@partial(jax.jit, static_argnames=("n", "n_offsets"))
-def _align_specs_kernel(
-    ref_pm, starts, ends, weights, n_samples, start_offs, cnts, n, n_offsets
-):
-    """Batched rasterize + FFT cross-correlate + masked argmax + exact rescore.
-
-    Args:
-      ref_pm: f32[n] ±1-mapped reference (zeros beyond its true length).
-      starts, ends: i32[K, C] candidate cue intervals (padded with (0, 0)).
-      weights: f32[K] per-candidate written value ``min(1/ratio, 1)``.
-      n_samples: i32[K] per-candidate true signal length.
-      start_offs: i32[K] largest allowed offset per candidate.
-      cnts: i32[K] number of allowed offsets (descending from start_offs).
-    Returns:
-      (scores f32[K], offsets i32[K]).
-    """
-    subs_pm = jax.vmap(_pm_kernel_raster, in_axes=(0, 0, 0, 0, None))(
-        starts, ends, weights, n_samples, n
-    )
-    ref_f = jnp.fft.rfft(ref_pm)
-    sub_f = jnp.fft.rfft(subs_pm, axis=-1)
-    # c2[k, m] = sum_s subs_pm[k, s] * ref_pm[(s + m) mod n]
-    c2 = jnp.fft.irfft(jnp.conj(sub_f) * ref_f[None, :], n=n, axis=-1)
-    j = jnp.arange(n_offsets, dtype=jnp.int32)[None, :]
-    offs = start_offs[:, None] - j
-    gathered = jnp.take_along_axis(c2, jnp.mod(offs, n), axis=-1)
-    gathered = jnp.where(j < cnts[:, None], gathered, -jnp.inf)
-    best_j = jnp.argmax(gathered, axis=-1)
-    best_off = jnp.take_along_axis(offs, best_j[:, None], axis=-1)[:, 0]
-
-    def rescore(sub_pm, off):
-        return jnp.dot(sub_pm, jnp.roll(ref_pm, -off))
-
-    best_score = jax.vmap(rescore)(subs_pm, best_off)
-    return best_score, best_off
 
 
 def _offset_window(
@@ -182,7 +116,7 @@ def _align_candidates_host(
     max_offset_samples: Optional[int],
     n: int,
 ) -> List["Alignment"]:
-    """Numpy mirror of :func:`_align_specs_kernel` — same contract surface.
+    """Numpy mirror of the device kernel — same contract surface.
 
     Candidates are scored one at a time (a [K, n] float64 batch would cost
     ~100 MB of host RAM for nothing; K is single-digit). Offsets are gathered
@@ -211,30 +145,11 @@ def _ref_length(ref: RefLike) -> int:
     return int(len(ref))
 
 
-def prepare_ref_pm(ref: RefLike, n: int) -> jnp.ndarray:
+def prepare_ref_pm(ref: RefLike, n: int):
     """Build the device-resident ±1 reference signal of FFT length *n*."""
-    if hasattr(ref, "padded_values"):  # LazySpeechSignal: already on device
-        # device-side compact straight into the FFT buffer; the ±1-map
-        # program is shared with the host-pushed path (same [n] aval)
-        return _ref_pm_from_signal(
-            ref.padded_values(n), jnp.int32(len(ref)), n
-        )
-    if isinstance(ref, RasterSpec):
-        c = max(1, len(ref.starts))
-        starts = np.zeros(c, np.int32)
-        ends = np.zeros(c, np.int32)
-        starts[: len(ref.starts)] = ref.starts
-        ends[: len(ref.ends)] = ref.ends
-        return _ref_pm_from_spec(
-            jnp.asarray(starts),
-            jnp.asarray(ends),
-            jnp.float32(ref.weight),
-            jnp.int32(ref.n_samples),
-            n,
-        )
-    values = np.zeros(n, np.float32)
-    values[: len(ref)] = ref
-    return _ref_pm_from_signal(jnp.asarray(values), jnp.int32(len(ref)), n)
+    from ffsubsync_tpu.ops import align_device
+
+    return align_device.prepare_ref_pm(ref, n)
 
 
 def align_candidates(
@@ -267,6 +182,10 @@ def align_candidates(
     n = next_pow2(n_ref + max(c.n_samples for c in candidates))
     if _resolve_host_align(prefer_host):
         return _align_candidates_host(ref, candidates, max_offset_samples, n)
+    import jax.numpy as jnp
+
+    from ffsubsync_tpu.ops import align_device
+
     k = len(candidates)
     c_pad = next_pow2(max(1, max(len(c.starts) for c in candidates)))
     starts = np.zeros((k, c_pad), np.int32)
@@ -285,8 +204,8 @@ def align_candidates(
         n if max_offset_samples is None else min(2 * int(max_offset_samples), n)
     )
     n_offsets = max(1, n_offsets)
-    ref_pm = prepare_ref_pm(ref, n)
-    scores, offsets = _align_specs_kernel(
+    ref_pm = align_device.prepare_ref_pm(ref, n)
+    scores, offsets = align_device._align_specs_kernel(
         ref_pm,
         jnp.asarray(starts),
         jnp.asarray(ends),
@@ -310,7 +229,9 @@ def align_signal_pair(
     """Align two raw 0/1 signals (string or array form) — library parity shim.
 
     Accepts "10110"-style bitstrings like the reference's ``FFTAligner.fit``
-    (aligners.py:51-54).
+    (aligners.py:51-54). Runs on the host (numpy) unless
+    ``FFS_TPU_HOST_ALIGN=0`` forces the device kernel — these are host-sized
+    100 Hz signals.
     """
     def _to_array(s):
         if isinstance(s, str):
@@ -327,14 +248,31 @@ def align_signal_pair(
             % (len(ref), len(sub))
         )
     n = next_pow2(len(ref) + len(sub))
-    ref_pm = prepare_ref_pm(ref.astype(np.float32), n)
+    if _resolve_host_align(True):
+        ref_pm = _host_pm(ref, n)
+        sub_pm = _host_pm(sub, n)
+        c2 = np.fft.irfft(
+            np.conj(np.fft.rfft(sub_pm)) * np.fft.rfft(ref_pm), n=n
+        )
+        hi, cnt = _offset_window(n, len(sub), max_offset_samples)
+        offs = hi - np.arange(max(cnt, 1))
+        best_off = int(offs[int(np.argmax(c2[np.mod(offs, n)]))])
+        score = float(np.dot(sub_pm, np.roll(ref_pm, -best_off)))
+        return Alignment(score, best_off)
+    import jax.numpy as jnp
+
+    from ffsubsync_tpu.ops import align_device
+
+    ref_pm = align_device.prepare_ref_pm(ref.astype(np.float32), n)
     sub_values = np.zeros(n, np.float32)
     sub_values[: len(sub)] = sub
-    sub_pm = _ref_pm_from_signal(jnp.asarray(sub_values), jnp.int32(len(sub)), n)
+    sub_pm = align_device._ref_pm_from_signal(
+        jnp.asarray(sub_values), jnp.int32(len(sub)), n
+    )
     hi, cnt = _offset_window(n, len(sub), max_offset_samples)
     n_offsets = n if max_offset_samples is None else min(2 * int(max_offset_samples), n)
     n_offsets = max(1, n_offsets)
-    scores, offsets = _align_signals_kernel(
+    scores, offsets = align_device._align_signals_kernel(
         ref_pm,
         sub_pm[None, :],
         jnp.asarray([hi], jnp.int32),
@@ -343,23 +281,3 @@ def align_signal_pair(
         n_offsets,
     )
     return Alignment(float(np.asarray(scores)[0]), int(np.asarray(offsets)[0]))
-
-
-@partial(jax.jit, static_argnames=("n", "n_offsets"))
-def _align_signals_kernel(ref_pm, subs_pm, start_offs, cnts, n, n_offsets):
-    """Like :func:`_align_specs_kernel` but for pre-materialized ±1 signals."""
-    ref_f = jnp.fft.rfft(ref_pm)
-    sub_f = jnp.fft.rfft(subs_pm, axis=-1)
-    c2 = jnp.fft.irfft(jnp.conj(sub_f) * ref_f[None, :], n=n, axis=-1)
-    j = jnp.arange(n_offsets, dtype=jnp.int32)[None, :]
-    offs = start_offs[:, None] - j
-    gathered = jnp.take_along_axis(c2, jnp.mod(offs, n), axis=-1)
-    gathered = jnp.where(j < cnts[:, None], gathered, -jnp.inf)
-    best_j = jnp.argmax(gathered, axis=-1)
-    best_off = jnp.take_along_axis(offs, best_j[:, None], axis=-1)[:, 0]
-
-    def rescore(sub_pm, off):
-        return jnp.dot(sub_pm, jnp.roll(ref_pm, -off))
-
-    best_score = jax.vmap(rescore)(subs_pm, best_off)
-    return best_score, best_off

@@ -266,3 +266,40 @@ def test_profile_dir_writes_trace(tmp_path):
     assert result["sync_was_successful"]
     traces = list(prof.rglob("*"))
     assert any(p.is_file() for p in traces), "no profiler output written"
+
+
+def test_srt_sync_never_imports_jax(tmp_path):
+    """A subtitle-reference sync is host-only end to end: it must complete
+    with jax import-blocked (no device session, no jax import cost on
+    machines without an ambient jax)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    ref = _write(tmp_path, "ref.srt", REF_SRT)
+    srtin = _make_unsynced(tmp_path, ref, 2.5)
+    out = str(tmp_path / "out.srt")
+    code = textwrap.dedent(
+        """
+        import sys
+        class Block:
+            def find_module(self, name, path=None):
+                if name == "jax" or name.startswith("jax."):
+                    return self
+            def load_module(self, name):
+                raise ImportError("jax blocked: " + name)
+        sys.meta_path.insert(0, Block())
+        from ffsubsync_tpu.cli import make_parser
+        from ffsubsync_tpu.sync import run
+        args = make_parser().parse_args([%r, "-i", %r, "-o", %r])
+        result = run(args)
+        assert result["sync_was_successful"], result
+        assert abs(result["offset_seconds"] - 2.5) < 0.02, result
+        """
+    ) % (str(ref), str(srtin), out)
+    env = dict(os.environ)
+    env.pop("PYTHONSTARTUP", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
