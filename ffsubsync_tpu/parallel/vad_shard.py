@@ -1,0 +1,246 @@
+# -*- coding: utf-8 -*-
+"""Sequence-parallel VAD: one movie's time axis sharded across a device mesh.
+
+The single-chip pipeline (ops/vad._vad_program) already makes a movie one
+launch; this module splits that launch across the chips of a slice along a
+``time`` mesh axis — the SP complement to parallel/batch.py's DP. The three
+ingredients map onto ICI collectives:
+
+- **frontend + fusion** are per-window → embarrassingly shard-local;
+- **the spectral recurrences** (EMA, min-statistics floor, hangover) are
+  associative scans → each chip scans its shard locally, per-shard summaries
+  are `all_gather`ed (a few floats per chip), and each chip applies the
+  exclusive prefix of its predecessors — the cross-chip level of the same
+  two-level decomposition ops/vad._blocked_scan uses within a chip;
+- **the neural VAD's dilated convs** need ±`CONTEXT` windows of context →
+  one `ppermute` halo exchange of normalized features with each neighbor
+  (edge shards take zero halos, which is exactly the SAME-padding the
+  monolithic program sees at the true signal boundary). Normalization
+  statistics are global via `psum`.
+
+Semantics target: numerically equivalent to ONE monolithic
+``_vad_program`` call over the whole signal (fresh state, single chunk) —
+pinned by tests/test_vad_shard.py on the virtual 8-device CPU mesh.
+"""
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ffsubsync_tpu.models import neural_vad as nv
+from ffsubsync_tpu.ops import vad as V
+from ffsubsync_tpu.ops.pallas import frontend as plf
+
+
+def _affine(left, right):
+    a1, b1 = left
+    a2, b2 = right
+    return a1 * a2, a2 * b1 + b2
+
+
+def _exclusive_prefix(summary, combine, identity, axis_name):
+    """Each chip's exclusive prefix of all earlier chips' scan summaries.
+
+    ``summary`` is this chip's inclusive local total. The all_gather moves a
+    few floats per chip over ICI; the D-element scan is replicated work.
+    """
+    gathered = jax.lax.all_gather(summary, axis_name)  # [D, ...]
+    scanned = jax.lax.associative_scan(combine, gathered, axis=0)
+    idx = jax.lax.axis_index(axis_name)
+    take = lambda s, ident: jnp.where(  # noqa: E731
+        idx > 0,
+        jax.lax.dynamic_index_in_dim(
+            s, jnp.maximum(idx - 1, 0), axis=0, keepdims=False
+        ),
+        jnp.asarray(ident, s.dtype),
+    )
+    return jax.tree_util.tree_map(take, scanned, identity)
+
+
+def _sharded_program(
+    framed, dft_mel, dft_plain, mel_fb, band_sel, n_valid, nv_params,
+    non_speech_label, window, wpad, mode, interpret, axis_name, n_dev,
+):
+    """Per-shard body (runs under shard_map). Returns local labels [T_loc]."""
+    t_loc = framed.shape[0]
+    idx = jax.lax.axis_index(axis_name)
+    t0 = idx * t_loc
+    t_global = t0 + jnp.arange(t_loc, dtype=jnp.int32)
+    valid = (t_global < n_valid)[:, None]
+
+    out = plf._frontend_call(
+        framed, dft_mel, dft_plain, mel_fb, band_sel, window, wpad, interpret
+    )
+    logmel = out[:, plf.MEL_OFF : plf.MEL_OFF + plf.N_MELS]
+    bands = out[:, plf.BAND_OFF : plf.BAND_OFF + plf.N_BANDS]
+
+    # ---- spectral detector: local scans + cross-chip prefix ----------------
+    e = jnp.maximum(bands, 1e-12)
+    # the global EMA seed is the first window's energies (shard 0's e[0])
+    e0 = jax.lax.all_gather(e[0], axis_name)[0]
+    coef_a = jnp.where(valid, 1.0 - V._ENERGY_EMA_ALPHA, 1.0)
+    coef_b = jnp.where(valid, V._ENERGY_EMA_ALPHA * e, 0.0)
+    loc_a, loc_b = V._blocked_scan(
+        _affine, (coef_a, coef_b), (jnp.float32(1.0), jnp.float32(0.0))
+    )
+    pref_a, pref_b = _exclusive_prefix(
+        (loc_a[-1], loc_b[-1]),
+        _affine,
+        (jnp.float32(1.0), jnp.float32(0.0)),
+        axis_name,
+    )
+    big_a = pref_a[None, :] * loc_a
+    big_b = loc_a * pref_b[None, :] + loc_b
+    ema_seq = big_a * e0[None, :] + big_b
+    ln_ema = jnp.log(ema_seq)
+    lng = jnp.float32(np.log(V._NOISE_FLOOR_GROWTH))
+    tt = t_global.astype(jnp.float32)[:, None] * lng
+    shifted = jnp.where(valid, ln_ema - tt, jnp.inf)
+    loc_min = V._blocked_scan(jnp.minimum, shifted, jnp.float32(jnp.inf))
+    pref_min = _exclusive_prefix(
+        loc_min[-1], jnp.minimum, jnp.float32(jnp.inf), axis_name
+    )
+    cummin = jnp.minimum(loc_min, pref_min[None, :])
+    ln_noise = tt + cummin
+    snr_db = (10.0 / np.log(10.0)) * (ln_ema - ln_noise)
+    weights = jnp.asarray(V._BAND_WEIGHTS)
+    score = jnp.dot(snr_db, weights) / V._BAND_WEIGHTS.sum()
+    raw = (score > V._SNR_THRESHOLD_DB) & valid[:, 0]
+    marked = jnp.where(raw, t_global, -(1 << 30))
+    loc_max = V._blocked_scan(jnp.maximum, marked, jnp.int32(-(1 << 30)))
+    pref_max = _exclusive_prefix(
+        loc_max[-1], jnp.maximum, jnp.int32(-(1 << 30)), axis_name
+    )
+    last = jnp.maximum(loc_max, pref_max)
+    speech = t_global - last < V._HANGOVER_WINDOWS
+    webrtc_labels = jnp.where(speech, 1.0, non_speech_label)
+
+    # ---- neural detector: global normalization + halo exchange -------------
+    ctx = nv.CONTEXT
+    denom = jnp.maximum(n_valid, 1)
+    mean = (
+        jax.lax.psum(jnp.sum(logmel * valid, axis=0, keepdims=True), axis_name)
+        / denom
+    )
+    var = (
+        jax.lax.psum(
+            jnp.sum(((logmel - mean) * valid) ** 2, axis=0, keepdims=True),
+            axis_name,
+        )
+        / denom
+    )
+    x = (logmel - mean) / (jnp.sqrt(var) + 1e-3)
+    x = jnp.where(valid, x, 0.0)
+    # halo exchange: my last ctx rows go right, my first ctx rows go left;
+    # edge shards take zeros (the signal boundary's SAME padding)
+    from_left = jax.lax.ppermute(
+        x[-ctx:], axis_name, [(i, i + 1) for i in range(n_dev - 1)]
+    )
+    from_right = jax.lax.ppermute(
+        x[:ctx], axis_name, [(i + 1, i) for i in range(n_dev - 1)]
+    )
+    from_left = jnp.where(idx > 0, from_left, 0.0)
+    from_right = jnp.where(idx < n_dev - 1, from_right, 0.0)
+    x_ext = jnp.concatenate([from_left, x, from_right], axis=0)
+    probs = nv._net(nv_params, x_ext)[ctx : ctx + t_loc]
+    silero_labels = 1.0 - (1.0 - probs) * (1.0 - non_speech_label)
+
+    if mode == "webrtc":
+        labels = webrtc_labels
+    elif mode == "silero":
+        labels = silero_labels
+    elif mode == "intersection":
+        labels = jnp.minimum(webrtc_labels, silero_labels)
+    elif mode == "union":
+        labels = jnp.maximum(webrtc_labels, silero_labels)
+    else:
+        labels = 0.6 * silero_labels + 0.4 * webrtc_labels
+    return labels
+
+
+def make_sharded_detector(
+    mesh: Mesh,
+    mode: str,
+    sample_rate: int,
+    frame_rate: int,
+    non_speech_label: float,
+    axis_name: str = "time",
+):
+    """Build ``detect(pcm) -> labels`` sharding one signal's time axis.
+
+    The returned callable stages the PCM on the host, pads the window axis to
+    a per-shard multiple of ``max(CONTEXT, _SCAN_BLOCK-compatible)``, and runs
+    the whole fused VAD as ONE sharded program (labels come back as the
+    global [n_windows] array).
+    """
+    import os
+
+    from ffsubsync_tpu.models.neural_vad import NeuralVAD
+    from ffsubsync_tpu.ops.features import prepare_staged_input
+
+    n_dev = int(np.prod(mesh.devices.shape))
+    params = NeuralVAD.load_default(
+        frame_rate=frame_rate, sample_rate=sample_rate
+    ).params
+    interpret = os.environ.get("FFS_TPU_PALLAS_INTERPRET") == "1"
+    jitted = {}  # (window, wpad) -> jitted sharded program
+
+    def _program(window, wpad):
+        if (window, wpad) not in jitted:
+            fn = shard_map(
+                partial(
+                    _sharded_program,
+                    window=window,
+                    wpad=wpad,
+                    mode=mode,
+                    interpret=interpret,
+                    axis_name=axis_name,
+                    n_dev=n_dev,
+                ),
+                mesh=mesh,
+                in_specs=(P(axis_name), P(), P(), P(), P(), P(), P(), P()),
+                out_specs=P(axis_name),
+                # the pallas frontend's custom call can't declare its
+                # varying-across-mesh axes; skip the replication check
+                check_rep=False,
+            )
+            jitted[(window, wpad)] = jax.jit(fn)
+        return jitted[(window, wpad)]
+
+    def detect(pcm: np.ndarray) -> np.ndarray:
+        framed, mats, n_windows = prepare_staged_input(
+            pcm, frame_rate, sample_rate
+        )
+        t_pad = framed.shape[0]
+        # every shard needs >= CONTEXT rows for the halo slices, the total
+        # must divide evenly across the mesh, and each shard's row count
+        # must stay TILE_T-aligned — a partial pallas grid block would read
+        # past the shard's rows (undefined values)
+        per = -(-t_pad // n_dev)
+        per = max(per, nv.CONTEXT)
+        per = -(-per // plf.TILE_T) * plf.TILE_T
+        full = per * n_dev
+        if full > t_pad:
+            framed = np.concatenate(
+                [framed, np.zeros((full - t_pad,) + framed.shape[1:], framed.dtype)]
+            )
+        sharded = NamedSharding(mesh, P(axis_name))
+        framed_dev = jax.device_put(jnp.asarray(framed), sharded)
+        labels = _program(mats.window, mats.wpad)(
+            framed_dev,
+            mats.dft_mel,
+            mats.dft_plain,
+            mats.mel_fb,
+            mats.band_sel,
+            jnp.int32(n_windows),
+            params,
+            jnp.float32(non_speech_label),
+        )
+        return np.asarray(labels, dtype=np.float64)[:n_windows]
+
+    return detect
