@@ -29,7 +29,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ffsubsync_tpu.models import neural_vad as nv
@@ -207,7 +207,7 @@ def make_sharded_detector(
                 out_specs=P(axis_name),
                 # the pallas frontend's custom call can't declare its
                 # varying-across-mesh axes; skip the replication check
-                check_rep=False,
+                check_vma=False,
             )
             jitted[(window, wpad)] = jax.jit(fn)
         return jitted[(window, wpad)]
