@@ -334,6 +334,15 @@ class VideoSpeechSource:
             self.vad, self.sample_rate, pcm_rate, self._non_speech_label
         )
         buffered = self._use_buffered_vad(total_duration, pcm_rate)
+        sp_detector = None
+        if buffered:
+            from ffsubsync_tpu.parallel.vad_shard import maybe_sharded_detector
+
+            sp_detector = maybe_sharded_detector(
+                self.vad, self.sample_rate, pcm_rate, self._non_speech_label
+            )
+            if sp_detector is not None:
+                detector = sp_detector  # whole-buffer path below
         max_buffer_bytes = int(
             os.environ.get("FFS_TPU_MAX_BUFFER_BYTES", 4 * 1024**3)
         )

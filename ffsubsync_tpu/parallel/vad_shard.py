@@ -22,6 +22,7 @@ Semantics target: numerically equivalent to ONE monolithic
 ``_vad_program`` call over the whole signal (fresh state, single chunk) —
 pinned by tests/test_vad_shard.py on the virtual 8-device CPU mesh.
 """
+import logging
 from functools import partial
 from typing import Optional
 
@@ -35,6 +36,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ffsubsync_tpu.models import neural_vad as nv
 from ffsubsync_tpu.ops import vad as V
 from ffsubsync_tpu.ops.pallas import frontend as plf
+
+logger = logging.getLogger(__name__)
 
 
 def _affine(left, right):
@@ -244,3 +247,41 @@ def make_sharded_detector(
         return np.asarray(labels, dtype=np.float64)[:n_windows]
 
     return detect
+
+
+def maybe_sharded_detector(
+    vad: str, sample_rate: int, frame_rate: int, non_speech_label: float
+):
+    """Product wiring: a sharded detector when the environment asks for one.
+
+    Returns None unless ``FFS_TPU_SP_VAD=1``, more than one device is
+    attached, and the ``--vad`` mode maps onto the fused device program
+    (auditok's host tokenizer has no sharded form). The media layer then
+    buffers the whole signal and runs ONE sequence-parallel launch instead
+    of the chunked single-chip pipeline — the right trade on a multi-chip
+    slice with fast storage, where decode no longer dominates.
+    """
+    import os
+
+    if os.environ.get("FFS_TPU_SP_VAD") != "1":
+        return None
+    name = vad.split("subs_then_")[-1]
+    if "fused" in name:
+        mode = name.split(":", 1)[1] if ":" in name else "weighted"
+    elif "webrtc" in name:
+        mode = "webrtc"
+    elif "silero" in name:
+        mode = "silero"
+    else:
+        return None
+    devices = jax.devices()
+    if len(devices) < 2:
+        return None
+    logger.info(
+        "sequence-parallel VAD: sharding the signal over %d devices",
+        len(devices),
+    )
+    mesh = Mesh(np.array(devices), ("time",))
+    return make_sharded_detector(
+        mesh, mode, sample_rate, frame_rate, non_speech_label
+    )

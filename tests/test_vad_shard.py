@@ -85,3 +85,36 @@ def test_sharded_vad_alignment_end_to_end(monkeypatch):
     cand = rasterize_intervals([(a - shift, b - shift) for a, b in spans], 100)
     result = align_candidates(signal, [cand], max_offset_samples=500)[0]
     assert result.offset == int(shift * 100)
+
+
+def test_sp_vad_product_wiring(tmp_path, monkeypatch):
+    """FFS_TPU_SP_VAD=1 routes the buffered audio path through the
+    sequence-parallel detector; the sync result must match the normal
+    single-chip pipeline."""
+    monkeypatch.setenv("FFS_TPU_PALLAS_INTERPRET", "1")
+    from ffsubsync_tpu.media.audio import VideoSpeechSource
+    from tests.helpers import write_wav
+
+    frame_rate = 8000
+    spans = [(2.0, 5.0), (9.0, 12.0), (18.0, 22.0)]
+    wav = speech_signal_for_spans(26.0, spans, frame_rate, speech_level=0.35)
+    path = str(tmp_path / "m.wav")
+    write_wav(path, wav, frame_rate)
+
+    def fit(sp):
+        if sp:
+            monkeypatch.setenv("FFS_TPU_SP_VAD", "1")
+        else:
+            monkeypatch.delenv("FFS_TPU_SP_VAD", raising=False)
+        src = VideoSpeechSource(
+            vad="fused", sample_rate=100, frame_rate=frame_rate,
+            non_speech_label=0.0,
+        )
+        src.fit(path)
+        return np.asarray(src.transform())
+
+    normal = fit(False)
+    sharded = fit(True)
+    assert normal.shape == sharded.shape
+    agree = np.mean(np.abs(normal - sharded) < 1e-2)
+    assert agree > 0.99, agree
