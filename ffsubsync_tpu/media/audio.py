@@ -244,10 +244,13 @@ class VideoSpeechSource:
         from ffsubsync_tpu.ops.features import _MIN_ANALYSIS_RATE, analysis_rate
 
         rate = analysis_rate(file_rate, self.sample_rate)
-        if rate > 2 * _MIN_ANALYSIS_RATE:
+        decimate_on = os.environ.get("FFS_TPU_ANALYSIS_DECIMATE", "1") != "0"
+        if decimate_on and rate > 2 * _MIN_ANALYSIS_RATE:
             # decimation can't engage (44.1 kHz family): staying at the file
             # rate would ship ~4x the wire bytes and blow the lane-aligned
-            # window budget — take the resample-to-frame_rate path instead
+            # window budget — take the resample-to-frame_rate path instead.
+            # With decimation disabled by request, full-rate analysis is the
+            # point — keep the native path at the file's rate.
             return False
         if not ("silero" in self.vad or "fused" in self.vad):
             return True
@@ -338,11 +341,12 @@ class VideoSpeechSource:
         if buffered:
             from ffsubsync_tpu.parallel.vad_shard import maybe_sharded_detector
 
+            # when active, the whole buffer runs as ONE sequence-parallel
+            # launch at the end; the chunked state-carrying `detector` is
+            # kept for the streaming spill fallback
             sp_detector = maybe_sharded_detector(
                 self.vad, self.sample_rate, pcm_rate, self._non_speech_label
             )
-            if sp_detector is not None:
-                detector = sp_detector  # whole-buffer path below
         max_buffer_bytes = int(
             os.environ.get("FFS_TPU_MAX_BUFFER_BYTES", 4 * 1024**3)
         )
@@ -355,6 +359,10 @@ class VideoSpeechSource:
         dispatch_async = getattr(detector, "dispatch_async", None)
         gather = getattr(detector, "gather", None)
         pipeline_bytes = 0
+        if sp_detector is not None:
+            # the sequence-parallel launch needs the whole buffer; skip the
+            # incremental chunk dispatch
+            dispatch_async = gather = None
         if dispatch_async is not None and gather is not None:
             from ffsubsync_tpu.ops.vad import _pipeline_chunk_samples
 
@@ -411,7 +419,10 @@ class VideoSpeechSource:
                 pending_handles.append(dispatch_async(_join_pcm_parts(pcm_parts)))
             media_bstring.append(gather(pending_handles))
         elif buffered and pcm_parts:
-            media_bstring.append(detector(_join_pcm_parts(pcm_parts)))
+            whole_buffer_detector = sp_detector or detector
+            media_bstring.append(
+                whole_buffer_detector(_join_pcm_parts(pcm_parts))
+            )
         if len(media_bstring) == 0:
             raise ValueError(
                 "Unable to detect speech. "

@@ -187,9 +187,19 @@ def make_sharded_detector(
     from ffsubsync_tpu.ops.features import prepare_staged_input
 
     n_dev = int(np.prod(mesh.devices.shape))
-    params = NeuralVAD.load_default(
-        frame_rate=frame_rate, sample_rate=sample_rate
-    ).params
+    if mode == "webrtc":
+        # the neural branch is dead code under this mode; zero params keep
+        # tracing happy without loading (or warning about) weights — same
+        # pattern as ops/vad._make_onelaunch_detector
+        from ffsubsync_tpu.models.neural_vad import init_params
+
+        params = jax.tree_util.tree_map(
+            jnp.zeros_like, init_params(jax.random.PRNGKey(0))
+        )
+    else:
+        params = NeuralVAD.load_default(
+            frame_rate=frame_rate, sample_rate=sample_rate
+        ).params
     interpret = os.environ.get("FFS_TPU_PALLAS_INTERPRET") == "1"
     jitted = {}  # (window, wpad) -> jitted sharded program
 
@@ -215,7 +225,13 @@ def make_sharded_detector(
             jitted[(window, wpad)] = jax.jit(fn)
         return jitted[(window, wpad)]
 
-    def detect(pcm: np.ndarray) -> np.ndarray:
+    def detect(pcm):
+        """PCM (int16 array or s16le bytes) → :class:`LazySpeechSignal`.
+
+        The global label array stays a sharded device value — the aligner
+        compacts it in place, preserving the labels-never-visit-the-host
+        invariant; numpy consumers still get values via ``__array__``."""
+        pcm = V._pcm_bytes_to_i16(pcm)
         framed, mats, n_windows = prepare_staged_input(
             pcm, frame_rate, sample_rate
         )
@@ -233,7 +249,10 @@ def make_sharded_detector(
                 [framed, np.zeros((full - t_pad,) + framed.shape[1:], framed.dtype)]
             )
         sharded = NamedSharding(mesh, P(axis_name))
-        framed_dev = jax.device_put(jnp.asarray(framed), sharded)
+        # device_put on the numpy array slices host-side and sends each
+        # shard straight to its device — no whole-buffer staging through
+        # the default device
+        framed_dev = jax.device_put(framed, sharded)
         labels = _program(mats.window, mats.wpad)(
             framed_dev,
             mats.dft_mel,
@@ -244,7 +263,7 @@ def make_sharded_detector(
             params,
             jnp.float32(non_speech_label),
         )
-        return np.asarray(labels, dtype=np.float64)[:n_windows]
+        return V.LazySpeechSignal([(labels, n_windows)])
 
     return detect
 

@@ -46,9 +46,13 @@ def warm(minutes: float) -> None:
         if dispatch is not None:
             # the production path keeps labels on device (LazySpeechSignal)
             out = det.gather([dispatch(pcm)])
-            out.materialize()
             if vad == "fused":
+                # align below must see the UNmaterialized signal so the
+                # device-compact program compiles at the alignment FFT
+                # length (the shape the bench's hot path hits)
                 signal = out
+            else:
+                out.materialize()
         else:
             det(pcm)
         log("  vad %s: %.1f s" % (vad, time.perf_counter() - t0))
@@ -72,6 +76,8 @@ def warm(minutes: float) -> None:
             )
         )
     align_candidates(signal, cands, max_offset_samples=60 * SAMPLE_RATE)
+    if hasattr(signal, "materialize"):
+        signal.materialize()  # warm the bucket-length compact + pull too
     log("  align: %.1f s" % (time.perf_counter() - t0))
 
 

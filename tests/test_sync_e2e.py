@@ -282,13 +282,23 @@ def test_srt_sync_never_imports_jax(tmp_path):
     code = textwrap.dedent(
         """
         import sys
+        # an ambient sitecustomize may have pre-imported jax; purge the cache
+        # so the blocker governs any fresh import attempt
+        for name in [n for n in sys.modules
+                     if n == "jax" or n.startswith(("jax.", "jaxlib"))]:
+            del sys.modules[name]
         class Block:
-            def find_module(self, name, path=None):
+            def find_spec(self, name, path=None, target=None):
                 if name == "jax" or name.startswith("jax."):
-                    return self
-            def load_module(self, name):
-                raise ImportError("jax blocked: " + name)
+                    raise ImportError("jax blocked: " + name)
         sys.meta_path.insert(0, Block())
+        # prove the blocker fires at all (a vacuous blocker passes trivially)
+        try:
+            import jax  # noqa: F401
+        except ImportError:
+            pass
+        else:
+            raise AssertionError("import blocker is vacuous")
         from ffsubsync_tpu.cli import make_parser
         from ffsubsync_tpu.sync import run
         args = make_parser().parse_args([%r, "-i", %r, "-o", %r])

@@ -57,7 +57,7 @@ def test_sharded_vad_matches_monolithic(mode, monkeypatch):
 
     mesh = Mesh(np.array(jax.devices()), ("time",))
     detect = make_sharded_detector(mesh, mode, sample_rate, frame_rate, nsl)
-    sharded = detect(pcm)
+    sharded = np.asarray(detect(pcm))
     mono = _monolithic_labels(pcm, mode, frame_rate, sample_rate, nsl)
     assert sharded.shape == mono.shape
     # float drift from reduction-order differences (psum vs single-device
@@ -80,7 +80,7 @@ def test_sharded_vad_alignment_end_to_end(monkeypatch):
     pcm = np.clip(wav * 32767, -32768, 32767).astype(np.int16)
     mesh = Mesh(np.array(jax.devices()), ("time",))
     detect = make_sharded_detector(mesh, "weighted", 100, frame_rate, 0.0)
-    signal = detect(pcm)
+    signal = detect(pcm)  # stays lazy on device; the aligner reads it there
     shift = 1.75
     cand = rasterize_intervals([(a - shift, b - shift) for a, b in spans], 100)
     result = align_candidates(signal, [cand], max_offset_samples=500)[0]
