@@ -63,3 +63,31 @@ def test_malformed_fragments_fail_cleanly(fmt):
             make_subtitle_parser(fmt, encoding="infer").fit(io.BytesIO(blob))
         except CLEAN:
             pass
+
+
+def test_wav_header_fuzz_fails_cleanly(tmp_path):
+    """Corrupted RIFF headers must raise WavFormatError/ValueError/OSError —
+    never an internal IndexError/struct.error — through the whole read."""
+    import struct
+
+    from ffsubsync_tpu.media.wav import WavFormatError, WavReader, is_wav_file
+
+    rng = np.random.RandomState(1)
+    data = (rng.randn(8000) * 3000).astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    hdr += b"data" + struct.pack("<I", len(data))
+    blob0 = hdr + data
+    path = str(tmp_path / "f.wav")
+    for _ in range(120):
+        blob = bytearray(blob0)
+        for _ in range(rng.randint(1, 8)):
+            blob[rng.randint(0, 64)] = rng.randint(0, 256)
+        with open(path, "wb") as f:
+            f.write(bytes(blob))
+        if not is_wav_file(path):
+            continue
+        try:
+            list(WavReader(path).iter_chunks(target_rate=8000))
+        except (WavFormatError, ValueError, OSError):
+            pass
