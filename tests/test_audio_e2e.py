@@ -292,16 +292,16 @@ def test_native_wav_rate_without_weights_falls_back(tmp_path):
     from ffsubsync_tpu.media.audio import VideoSpeechSource
     from tests.helpers import write_wav
 
-    path = str(tmp_path / "m8k.wav")
-    write_wav(path, np.random.RandomState(0).randn(8000 * 2) * 0.1, 8000)
+    path = str(tmp_path / "m6k.wav")
+    write_wav(path, np.random.RandomState(0).randn(6000 * 2) * 0.1, 6000)
     fused = VideoSpeechSource(
         vad="fused", sample_rate=100, frame_rate=48000, non_speech_label=0.0
     )
-    assert fused._pcm_rate(path) == 48000  # no neural_vad_weights_8000.npz
+    assert fused._pcm_rate(path) == 48000  # no neural_vad_weights_6000.npz
     webrtc = VideoSpeechSource(
         vad="webrtc", sample_rate=100, frame_rate=48000, non_speech_label=0.0
     )
-    assert webrtc._pcm_rate(path) == 8000
+    assert webrtc._pcm_rate(path) == 6000
 
 
 def test_audio_signal_stays_on_device_until_needed(tmp_path, monkeypatch):

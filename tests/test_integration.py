@@ -76,6 +76,9 @@ CASES = [
     ("wav_auditok", "wav", {"shift": 2.0}, ["--vad", "auditok"]),
     ("npz_roundtrip", "npz", {"shift": 2.5}, []),
     ("wav_gss", "wav", {"shift": 1.25, "ratio": 24.0 / 23.976}, ["--gss"]),
+    # telephone-band reference: the native path stays at the file's 8 kHz
+    # (rate-specific neural weights shipped in-tree)
+    ("wav8k_fused", "wav", {"shift": 1.75, "wav_rate": 8000}, ["--vad", "fused"]),
     ("wav_multiseg", "wav", {"shift": 2.0},
      ["--multi-segment-sync", "--segment-count", "4"]),
 ]
@@ -97,11 +100,12 @@ def _build_case(tmp_path, kind, perturb):
     from ffsubsync_tpu.models.synth_data import speech_signal_for_spans
     from tests.helpers import write_wav
 
+    wav_rate = perturb.get("wav_rate", 16000)
     wav_path = tmp_path / "ref.wav"
     write_wav(
         str(wav_path),
-        speech_signal_for_spans(DURATION, SPANS, 16000, speech_level=0.4),
-        16000,
+        speech_signal_for_spans(DURATION, SPANS, wav_rate, speech_level=0.4),
+        wav_rate,
     )
     if kind == "wav":
         return str(wav_path), str(unsynced)
@@ -124,7 +128,7 @@ def test_integration_case(tmp_path, case_id, kind, perturb, extra):
     out = tmp_path / "synced.srt"
     argv = [reference, "-i", unsynced, "-o", str(out)]
     if kind == "wav":
-        argv += ["--frame-rate", "16000"]
+        argv += ["--frame-rate", str(perturb.get("wav_rate", 16000))]
     argv += extra
     args = make_parser().parse_args(argv)
     result = run(args)
