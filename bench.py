@@ -106,11 +106,7 @@ def main() -> int:
         # search reads them there — only scores/offsets come back
         t0 = time.perf_counter()
         detector = make_detector(vad_name, SAMPLE_RATE, frame_rate, 0.0)
-        dispatch = getattr(detector, "dispatch_async", None)
-        if dispatch is not None:
-            signal = detector.gather([dispatch(pcm)])
-        else:  # auditok's tokenizer has no async path
-            signal = detector(pcm)
+        signal = detector.gather([detector.dispatch_async(pcm)])
         t1 = time.perf_counter()
         results = align_candidates(
             signal, candidates, max_offset_samples=60 * SAMPLE_RATE

@@ -72,6 +72,29 @@ def _pcm_bytes_to_i16(chunk: bytes) -> np.ndarray:
 _SCAN_BLOCK = 4096  # inner block length of the two-level scans
 
 
+def _affine(left, right):
+    """Composition of first-order affine maps ``y -> a*y + b`` (the EMA
+    recurrence's associative combine; shared with the sequence-parallel
+    cross-chip prefix in parallel/vad_shard.py)."""
+    a1, b1 = left
+    a2, b2 = right
+    return a1 * a2, a2 * b1 + b2
+
+
+def _select_labels(mode, webrtc_labels, silero_labels):
+    """--vad mode -> label stream (parity: speech_transformers.py:282-294).
+    XLA dead-code-eliminates the branch a mode doesn't read."""
+    if mode == "webrtc":
+        return webrtc_labels
+    if mode == "silero":
+        return silero_labels
+    if mode == "intersection":
+        return jnp.minimum(webrtc_labels, silero_labels)
+    if mode == "union":
+        return jnp.maximum(webrtc_labels, silero_labels)
+    return 0.6 * silero_labels + 0.4 * webrtc_labels
+
+
 def _blocked_scan(fn, elems, identity):
     """Associative scan along axis 0, evaluated in two levels.
 
@@ -156,13 +179,8 @@ def _webrtc_from_bands(bands, n_valid, ema_in, noise_in):
     coef_a = jnp.where(valid, 1.0 - _ENERGY_EMA_ALPHA, 1.0)
     coef_b = jnp.where(valid, _ENERGY_EMA_ALPHA * e, 0.0)
 
-    def affine(left, right):
-        a1, b1 = left
-        a2, b2 = right
-        return a1 * a2, a2 * b1 + b2
-
     big_a, big_b = _blocked_scan(
-        affine, (coef_a, coef_b), (jnp.float32(1.0), jnp.float32(0.0))
+        _affine, (coef_a, coef_b), (jnp.float32(1.0), jnp.float32(0.0))
     )
     ema_seq = big_a * carry0[None, :] + big_b  # [T, B]
     ln_ema = jnp.log(ema_seq)
@@ -272,6 +290,16 @@ class LazySpeechSignal:
         return float(jnp.sum(self.padded_values(padded_window_count(len(self)))))
 
 
+def _gather_parts(handles) -> "LazySpeechSignal":
+    """Collect dispatched handles WITHOUT pulling to the host: returns a
+    :class:`LazySpeechSignal` (numpy consumers get values via its
+    ``__array__``; the device aligner reads ``padded_values()``)."""
+    flat = []
+    for h in handles:
+        flat.extend(h) if isinstance(h, list) else flat.append(h)
+    return LazySpeechSignal(flat)
+
+
 def _device_dispatch(mode, sample_rate, frame_rate, non_speech_label,
                      fallback):
     """Shared chunk dispatch: the one-launch device program when the Pallas
@@ -315,17 +343,8 @@ def _device_dispatch(mode, sample_rate, frame_rate, non_speech_label,
             return fn.dispatch_async(pcm)
         return [fallback(pcm)]
 
-    def _gather(handles) -> "LazySpeechSignal":
-        """Collect dispatched handles WITHOUT pulling to the host: returns a
-        :class:`LazySpeechSignal` (numpy consumers get values via its
-        ``__array__``; the device aligner reads ``padded_values()``)."""
-        flat = []
-        for h in handles:
-            flat.extend(h) if isinstance(h, list) else flat.append(h)
-        return LazySpeechSignal(flat)
-
     _detect.dispatch_async = _dispatch_async
-    _detect.gather = _gather
+    _detect.gather = _gather_parts
     return _detect
 
 
@@ -463,6 +482,10 @@ def make_auditok_detector(
             media_bstring[tok_end + 1] = non_speech_label - 1.0
         return np.clip(np.cumsum(media_bstring)[:-1], 0.0, 1.0)
 
+    # uniform detector protocol: the tokenizer's data-dependent host pass
+    # can't defer, so dispatch is eager — but callers need no special case
+    _detect.dispatch_async = lambda chunk: [_detect(chunk)]
+    _detect.gather = _gather_parts
     return _detect
 
 
@@ -537,16 +560,7 @@ def _vad_program(
     probs = nv._net(nv_params, x)[ctx:]
     silero_labels = 1.0 - (1.0 - probs) * (1.0 - non_speech_label)
 
-    if mode == "webrtc":
-        labels = webrtc_labels
-    elif mode == "silero":
-        labels = silero_labels
-    elif mode == "intersection":
-        labels = jnp.minimum(webrtc_labels, silero_labels)
-    elif mode == "union":
-        labels = jnp.maximum(webrtc_labels, silero_labels)
-    else:
-        labels = 0.6 * silero_labels + 0.4 * webrtc_labels
+    labels = _select_labels(mode, webrtc_labels, silero_labels)
 
     carry_out = jax.lax.dynamic_slice(
         feats, (n_valid, 0), (ctx, feats.shape[1])

@@ -40,10 +40,7 @@ from ffsubsync_tpu.ops.pallas import frontend as plf
 logger = logging.getLogger(__name__)
 
 
-def _affine(left, right):
-    a1, b1 = left
-    a2, b2 = right
-    return a1 * a2, a2 * b1 + b2
+_affine = V._affine
 
 
 def _exclusive_prefix(summary, combine, identity, axis_name):
@@ -153,17 +150,7 @@ def _sharded_program(
     probs = nv._net(nv_params, x_ext)[ctx : ctx + t_loc]
     silero_labels = 1.0 - (1.0 - probs) * (1.0 - non_speech_label)
 
-    if mode == "webrtc":
-        labels = webrtc_labels
-    elif mode == "silero":
-        labels = silero_labels
-    elif mode == "intersection":
-        labels = jnp.minimum(webrtc_labels, silero_labels)
-    elif mode == "union":
-        labels = jnp.maximum(webrtc_labels, silero_labels)
-    else:
-        labels = 0.6 * silero_labels + 0.4 * webrtc_labels
-    return labels
+    return V._select_labels(mode, webrtc_labels, silero_labels)
 
 
 def make_sharded_detector(

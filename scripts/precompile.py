@@ -42,19 +42,15 @@ def warm(minutes: float) -> None:
     for vad in ("fused", "webrtc", "silero", "auditok"):
         t0 = time.perf_counter()
         det = make_detector(vad, SAMPLE_RATE, frame_rate, 0.0)
-        dispatch = getattr(det, "dispatch_async", None)
-        if dispatch is not None:
-            # the production path keeps labels on device (LazySpeechSignal)
-            out = det.gather([dispatch(pcm)])
-            if vad == "fused":
-                # align below must see the UNmaterialized signal so the
-                # device-compact program compiles at the alignment FFT
-                # length (the shape the bench's hot path hits)
-                signal = out
-            else:
-                out.materialize()
+        # the production path keeps labels on device (LazySpeechSignal)
+        out = det.gather([det.dispatch_async(pcm)])
+        if vad == "fused":
+            # align below must see the UNmaterialized signal so the
+            # device-compact program compiles at the alignment FFT
+            # length (the shape the bench's hot path hits)
+            signal = out
         else:
-            det(pcm)
+            out.materialize()
         log("  vad %s: %.1f s" % (vad, time.perf_counter() - t0))
 
     t0 = time.perf_counter()
