@@ -246,22 +246,39 @@ class LazySpeechSignal:
             if nv > 0:
                 self._parts.append((arr, nv))
         self._np: Optional[np.ndarray] = None
+        self._dev_cache: dict = {}  # n -> compacted device buffer
+        if self._parts and all(
+            isinstance(a, np.ndarray) for a, _ in self._parts
+        ):
+            # host-resident labels (fallback/tokenizer paths): joining on
+            # the host up front avoids repeated device uploads from sum(),
+            # alignment, and serialization each compacting independently
+            self._np = np.concatenate(
+                [np.asarray(a[:nv], np.float64) for a, nv in self._parts]
+            )
 
     def __len__(self) -> int:
+        if self._np is not None:
+            return len(self._np)
         return sum(nv for _, nv in self._parts)
 
     def padded_values(self, n: int):
         """The signal as a device f32 [n] buffer, zeros beyond its length."""
         assert n >= len(self), "target buffer shorter than the signal"
+        if n in self._dev_cache:
+            return self._dev_cache[n]
         if self._np is not None:  # already pulled once: cheap host pad
             out = np.zeros(n, np.float32)
             out[: len(self._np)] = self._np
-            return jnp.asarray(out)
-        if not self._parts:
-            return jnp.zeros((n,), jnp.float32)
-        arrays = tuple(jnp.asarray(a) for a, _ in self._parts)
-        n_valids = tuple(jnp.int32(nv) for _, nv in self._parts)
-        return _compact_chunks(arrays, n_valids, n)
+            buf = jnp.asarray(out)
+        elif not self._parts:
+            buf = jnp.zeros((n,), jnp.float32)
+        else:
+            arrays = tuple(jnp.asarray(a) for a, _ in self._parts)
+            n_valids = tuple(jnp.int32(nv) for _, nv in self._parts)
+            buf = _compact_chunks(arrays, n_valids, n)
+        self._dev_cache[n] = buf
+        return buf
 
     def materialize(self) -> np.ndarray:
         if self._np is None:
@@ -482,10 +499,29 @@ def make_auditok_detector(
             media_bstring[tok_end + 1] = non_speech_label - 1.0
         return np.clip(np.cumsum(media_bstring)[:-1], 0.0, 1.0)
 
-    # uniform detector protocol: the tokenizer's data-dependent host pass
-    # can't defer, so dispatch is eager — but callers need no special case
-    _detect.dispatch_async = lambda chunk: [_detect(chunk)]
-    _detect.gather = _gather_parts
+    # uniform detector protocol WITHOUT changing tokenizer semantics:
+    # dispatch buffers raw PCM and gather tokenizes the WHOLE signal in one
+    # pass — token boundaries must not depend on pipeline chunking (a token
+    # straddling a chunk edge would split, and fragments under min_length
+    # would vanish)
+    _detect.dispatch_async = lambda chunk: [("auditok_pcm", _pcm_bytes_to_i16(chunk))]
+
+    def _gather(handles):
+        pcm_parts = []
+        for h in handles:
+            for tag, part in h if isinstance(h, list) else [h]:
+                assert tag == "auditok_pcm"
+                pcm_parts.append(part)
+        if not pcm_parts:
+            return LazySpeechSignal([])
+        joined = (
+            pcm_parts[0]
+            if len(pcm_parts) == 1
+            else np.concatenate(pcm_parts)
+        )
+        return LazySpeechSignal([_detect(joined)])
+
+    _detect.gather = _gather
     return _detect
 
 

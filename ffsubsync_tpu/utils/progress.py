@@ -84,6 +84,12 @@ class ProgressReporter:
             self._pbar.close()
         if self._stderr_redirect is not None:
             self._stderr_redirect.__exit__(exc_type, exc, tb)
+            # re-surface anything captured after the last update() — in
+            # particular error text written just before extraction raised,
+            # which would otherwise be swallowed with the redirect
+            tail = self._pbar_output.getvalue() if self._pbar_output else ""
+            if tail:
+                print(tail)
 
     def update(self, new_seconds: float) -> None:
         if (

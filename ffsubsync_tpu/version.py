@@ -36,9 +36,24 @@ _DESCRIBE_RE = re.compile(
 def _version_from_git() -> Optional[str]:
     """PEP 440-ish version from ``git describe`` for working checkouts:
     ``0.2.0`` at a tag, ``0.2.0.post3+g1a2b3c4`` three commits past it,
-    ``0.2.0.dev0+g1a2b3c4`` with no tags at all."""
+    ``0.2.0.dev0+g1a2b3c4`` with no tags at all.
+
+    Guarded against FOREIGN repositories: an installed copy sitting inside
+    some unrelated git work tree (site-packages under a user's project)
+    must not pick up that repo's tags, so git is consulted only when this
+    very file is tracked by the repo that contains it (versioneer's
+    equivalent safety check)."""
     here = os.path.dirname(os.path.abspath(__file__))
     try:
+        tracked = subprocess.run(
+            ["git", "ls-files", "--error-unmatch", "version.py"],
+            cwd=here,
+            capture_output=True,
+            text=True,
+            timeout=5,
+        )
+        if tracked.returncode != 0:
+            return None
         out = subprocess.run(
             ["git", "describe", "--tags", "--long", "--dirty", "--always"],
             cwd=here,
@@ -54,9 +69,11 @@ def _version_from_git() -> Optional[str]:
     match = _DESCRIBE_RE.match(described)
     if match is None:
         # no tags yet: describe printed a bare commit hash
+        dirty = described.endswith("-dirty")
         sha = described.replace("-dirty", "")
         if re.fullmatch(r"[0-9a-f]{7,40}", sha):
-            return "%s.dev0+g%s" % (_FALLBACK_VERSION, sha[:9])
+            version = "%s.dev0+g%s" % (_FALLBACK_VERSION, sha[:9])
+            return version + ".dirty" if dirty else version
         return None
     version = match.group("tag")
     if match.group("distance") != "0":

@@ -116,10 +116,19 @@ def run_real(vads, pairs):
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
     report = {"mode": "real", "pairwise_max_disagreement_s": {}, "per_file": {}}
+    pairwise = report["pairwise_max_disagreement_s"]
     for ref, offsets in rows:
         vals = [o for o in offsets.values() if o is not None]
         spread = round(max(vals) - min(vals), 3) if len(vals) > 1 else None
         report["per_file"][ref] = {**offsets, "spread_s": spread}
+        # headline metric: worst cross-file disagreement per mode pair
+        named = sorted((v, o) for v, o in offsets.items() if o is not None)
+        for i, (va, oa) in enumerate(named):
+            for vb, ob in named[i + 1 :]:
+                key = "%s/%s" % (va, vb)
+                d = round(abs(oa - ob), 3)
+                if d > pairwise.get(key, -1.0):
+                    pairwise[key] = d
     return report
 
 

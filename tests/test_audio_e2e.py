@@ -340,3 +340,17 @@ def test_audio_signal_stays_on_device_until_needed(tmp_path, monkeypatch):
     # transform() (serialization path) still yields host float64
     out = src.transform()
     assert isinstance(out, np.ndarray) and out.dtype == np.float64
+
+
+def test_gui_mode_drains_stderr_tail_on_exit(capsys):
+    """stderr captured AFTER the last update() (e.g. error text right before
+    extraction raised) must be re-surfaced at exit, not swallowed."""
+    import sys
+
+    from ffsubsync_tpu.utils.progress import ProgressReporter
+
+    with ProgressReporter(10.0, gui_mode=True) as progress:
+        progress.update(5.0)
+        print("late-error", file=sys.stderr)
+    out = capsys.readouterr().out
+    assert "late-error" in out

@@ -251,3 +251,29 @@ def test_dispatch_async_gather_matches_sync(monkeypatch):
     ]
     got = det.gather(handles)
     np.testing.assert_array_equal(got, expected)
+
+
+def test_auditok_tokens_invariant_to_pipeline_chunking(monkeypatch):
+    """The energy tokenizer's output must not depend on pipeline chunk
+    boundaries: dispatch buffers PCM and gather tokenizes the WHOLE signal
+    (a token straddling a chunk edge must not split or vanish)."""
+    import numpy as np
+    import ffsubsync_tpu.ops.vad as vad_mod
+    from ffsubsync_tpu.models.synth_data import speech_signal_for_spans
+
+    frame_rate = 8000
+    # one long token deliberately straddling the 5 s chunk boundary
+    wav = speech_signal_for_spans(
+        12.0, [(4.0, 6.5), (9.0, 10.0)], frame_rate, speech_level=0.5
+    )
+    pcm = np.clip(wav * 32767, -32768, 32767).astype(np.int16)
+    det = vad_mod.make_auditok_detector(100, frame_rate, 0.0)
+    whole = np.asarray(det(pcm))
+    chunk = frame_rate * 5
+    det2 = vad_mod.make_auditok_detector(100, frame_rate, 0.0)
+    handles = [
+        det2.dispatch_async(pcm[i : i + chunk])
+        for i in range(0, len(pcm), chunk)
+    ]
+    gathered = np.asarray(det2.gather(handles))
+    np.testing.assert_array_equal(gathered, whole)
