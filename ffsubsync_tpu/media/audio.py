@@ -258,18 +258,21 @@ class VideoSpeechSource:
 
         return has_trained_weights(rate)
 
-    def _iter_pcm_chunks(self, fname: str, bytes_per_buffer: int):
+    def _iter_pcm_chunks(self, fname: str, bytes_per_buffer: int,
+                         pcm_rate: int):
         """Yield raw PCM chunks: ffmpeg pipe normally, in-process for WAV.
 
         ffmpeg chunks are ``bytes``; native-WAV chunks are int16 ndarrays
         (zero-copy memmap slices on the hot path) — every consumer of PCM
         chunks accepts both, and skipping the bytes round trip saves two
-        full passes over a movie's PCM on a bandwidth-limited host."""
+        full passes over a movie's PCM on a bandwidth-limited host.
+        ``pcm_rate`` is the caller's (single) ``_pcm_rate`` probe — passed in
+        so the WAV header is parsed once per fit, not once per consumer."""
         if self._use_native_wav(fname):
             logger.info("decoding WAV natively (no ffmpeg subprocess)")
             reader = WavReader(fname)
             for chunk in reader.iter_chunks(
-                target_rate=self._pcm_rate(fname),
+                target_rate=pcm_rate,
                 chunk_seconds=float(WINDOWS_PER_BUFFER) / self.sample_rate,
                 start_seconds=self.start_seconds,
                 max_duration_seconds=self.max_duration_seconds,
@@ -363,6 +366,13 @@ class VideoSpeechSource:
             # the sequence-parallel launch needs the whole buffer; skip the
             # incremental chunk dispatch
             dispatch_async = gather = None
+        if getattr(detector, "buffers_pcm", False) and total_duration is None:
+            # this detector's async handles retain the raw PCM (auditok's
+            # whole-signal tokenizer), so dispatching would make the
+            # max-buffer spill below unreachable — exactly in the case the
+            # cap guards (an unknown duration). Accumulate through the
+            # normal buffered path instead, where the cap can fire.
+            dispatch_async = gather = None
         if dispatch_async is not None and gather is not None:
             from ffsubsync_tpu.ops.vad import _pipeline_chunk_samples
 
@@ -381,7 +391,7 @@ class VideoSpeechSource:
             gui_mode=self.gui_mode,
         ) as progress:
             for in_bytes in self._iter_pcm_chunks(
-                fname, bytes_per_window * WINDOWS_PER_BUFFER
+                fname, bytes_per_window * WINDOWS_PER_BUFFER, pcm_rate
             ):
                 chunk_nbytes = (
                     in_bytes.nbytes

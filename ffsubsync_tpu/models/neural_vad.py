@@ -6,10 +6,11 @@ a time (ffsubsync/speech_transformers.py:186-236). This is a from-scratch
 TPU-first replacement:
 
 - **architecture**: log-mel features per 10 ms window → channel-mixing dense →
-  four *dilated* temporal convolutions (kernel 5, dilations 1/2/4/8, ~0.6 s
-  receptive field) → per-window speech probability. Dilated convs rather than
-  an RNN keep the whole chunk's time axis parallel on the MXU — no
-  sequential ``scan`` in the hot path.
+  six *dilated* temporal convolutions (kernel 5, dilations 1/2/4/8/16/32,
+  ±1.26 s receptive field — wide enough to see phrase structure) →
+  per-window speech probability. Dilated convs rather than an RNN keep the
+  whole chunk's time axis parallel on the MXU — no sequential ``scan`` in
+  the hot path.
 - **chunking**: inference runs on ~100 s chunks; the last `CONTEXT` windows of
   mel features carry over between chunks so convolution context does not
   truncate at chunk boundaries. Chunks are padded to a bucket length so XLA
@@ -41,6 +42,14 @@ KERNEL = 5
 # from continuous speech-like textures (crowd babble, laughter trains)
 DILATIONS = (1, 2, 4, 8, 16, 32)
 CONTEXT = 128  # windows of left context carried across chunks (≥ one-sided RF)
+
+# The chunk carry here AND the sequence-parallel halo exchange
+# (parallel/vad_shard.py) both move exactly CONTEXT rows of features; if the
+# net's one-sided receptive field ever outgrew that, sharded labels would
+# silently desynchronize from the monolithic program instead of failing.
+assert (KERNEL // 2) * sum(DILATIONS) <= CONTEXT, (
+    "neural VAD receptive field exceeds the carried context window"
+)
 
 WEIGHTS_FILENAME = "neural_vad_weights.npz"
 

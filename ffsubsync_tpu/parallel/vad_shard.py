@@ -24,7 +24,6 @@ pinned by tests/test_vad_shard.py on the virtual 8-device CPU mesh.
 """
 import logging
 from functools import partial
-from typing import Optional
 
 import numpy as np
 
@@ -110,7 +109,56 @@ def _sharded_program(
     snr_db = (10.0 / np.log(10.0)) * (ln_ema - ln_noise)
     weights = jnp.asarray(V._BAND_WEIGHTS)
     score = jnp.dot(snr_db, weights) / V._BAND_WEIGHTS.sum()
-    raw = (score > V._SNR_THRESHOLD_DB) & valid[:, 0]
+
+    # spectral-motion duty-cycle gate (ops/vad._webrtc_from_bands): the
+    # previous window's normalized spectrum crosses the shard boundary as a
+    # ONE-ROW ppermute halo (shard 0 diffs its first window against itself,
+    # matching the monolithic fresh-state flux[0] == 0), and the ±K moving-
+    # indicator box gets K-row halos from each neighbor — after which the
+    # centered fraction is shard-local prefix-sum work, exactly equal to the
+    # monolithic global box
+    mel = jnp.exp(logmel)
+    p = mel / jnp.sum(mel, axis=1, keepdims=True)
+    prev_row = jax.lax.ppermute(
+        p[-1], axis_name, [(i, i + 1) for i in range(n_dev - 1)]
+    )
+    prev_row = jnp.where(idx > 0, prev_row, p[0])
+    prev = jnp.concatenate([prev_row[None, :], p[:-1]], axis=0)
+    flux = 0.5 * jnp.sum(jnp.abs(p - prev), axis=1)
+    noise_frac = jnp.sum(jnp.exp(ln_noise), axis=1) / jnp.sum(ema_seq, axis=1)
+    flux_c = jnp.maximum(flux - V._FLUX_NOISE_C * noise_frac, 0.0)
+    k = V._FLUX_BOX_K
+    active = (score > V._SNR_THRESHOLD_DB) & valid[:, 0]
+    moving = (flux_c > V._FLUX_MOVE_THRESHOLD) & valid[:, 0]
+    ind = jnp.stack(
+        [jnp.where(moving & active, 1.0, 0.0), jnp.where(active, 1.0, 0.0)],
+        axis=1,
+    )  # [T_loc, 2]: (moving-and-active, active)
+    m_left = jax.lax.ppermute(
+        ind[-k:], axis_name, [(i, i + 1) for i in range(n_dev - 1)]
+    )
+    m_right = jax.lax.ppermute(
+        ind[:k], axis_name, [(i + 1, i) for i in range(n_dev - 1)]
+    )
+    m_left = jnp.where(idx > 0, m_left, 0.0)
+    m_right = jnp.where(idx < n_dev - 1, m_right, 0.0)
+    ind_ext = jnp.concatenate([m_left, ind, m_right], axis=0)  # [T_loc+2K, 2]
+    s_pad = jnp.concatenate(
+        [
+            jnp.zeros((1, 2), jnp.float32),
+            V._blocked_scan(jnp.add, ind_ext, jnp.float32(0.0)),
+        ],
+        axis=0,
+    )
+    t_loc_idx = jnp.arange(t_loc, dtype=jnp.int32)
+    e_idx = t_loc_idx + k  # ext position of local window t
+    lo = e_idx - jnp.minimum(k, t_global)
+    hi = e_idx + jnp.minimum(k, n_valid - 1 - t_global)
+    hi_c = jnp.clip(hi, 0, t_loc + 2 * k - 1)
+    sums = jnp.take(s_pad, hi_c + 1, axis=0) - jnp.take(s_pad, lo, axis=0)
+    frac = sums[:, 0] / jnp.maximum(sums[:, 1], 1.0)
+
+    raw = active & moving & (frac > V._FLUX_FRAC_THRESHOLD)
     marked = jnp.where(raw, t_global, -(1 << 30))
     loc_max = V._blocked_scan(jnp.maximum, marked, jnp.int32(-(1 << 30)))
     pref_max = _exclusive_prefix(

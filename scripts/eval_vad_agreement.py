@@ -52,7 +52,7 @@ def _sync_offset(reference, srtin, vad, tmpdir):
     return result["offset_seconds"]
 
 
-def run_synthetic(vads, minutes, frame_rate, seed):
+def run_synthetic(vads, minutes, frame_rate, seed, scenarios=None):
     from ffsubsync_tpu.models.eval_data import MOVIE_SCENARIOS, perturbed_movie
 
     rng = np.random.RandomState(seed)
@@ -60,10 +60,13 @@ def run_synthetic(vads, minutes, frame_rate, seed):
     tmpdir = tempfile.mkdtemp(prefix="ffs_agreement_")
     try:
         for i, scenario in enumerate(MOVIE_SCENARIOS):
+            truth_draw = round(float(rng.uniform(-20.0, 20.0)), 2)
+            if scenarios and scenario not in scenarios:
+                continue
             pcm, spans = perturbed_movie(
                 scenario, minutes * 60.0, frame_rate, seed=seed + i
             )
-            truth = round(float(rng.uniform(-20.0, 20.0)), 2)
+            truth = truth_draw  # drawn per scenario slot, selection-invariant
             wav = os.path.join(tmpdir, "%s.wav" % scenario)
             srt = os.path.join(tmpdir, "%s.srt" % scenario)
             _write_wav(wav, pcm, frame_rate)
@@ -139,6 +142,12 @@ def main() -> int:
     ap.add_argument("--frame-rate", type=int, default=12000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
+        "--scenarios",
+        default=None,
+        help="comma-separated scenario subset (default: all); truths and "
+        "per-scenario seeds are unchanged by the selection",
+    )
+    ap.add_argument(
         "--pairs",
         nargs="*",
         help="real media: reference:srtin pairs (skips synthetic mode)",
@@ -155,7 +164,10 @@ def main() -> int:
         pairs = [tuple(p.rsplit(":", 1)) for p in args.pairs]
         report = run_real(vads, pairs)
     else:
-        report = run_synthetic(vads, args.minutes, args.frame_rate, args.seed)
+        report = run_synthetic(
+            vads, args.minutes, args.frame_rate, args.seed,
+            scenarios=args.scenarios.split(",") if args.scenarios else None,
+        )
     print(json.dumps(report))
     return 0
 

@@ -12,7 +12,6 @@ Like the reference, the heavy tier is gated: set ``INTEGRATION=1`` to run
 every case; by default a one-case smoke subset runs.
 """
 import os
-import sys
 
 import numpy as np
 import pytest

@@ -131,9 +131,10 @@ def test_padded_window_count_properties():
     assert plf.padded_window_count(540000) == plf.padded_window_count(539000)
 
 
-def _webrtc_sequential_reference(bands, ema0, noise0):
+def _webrtc_sequential_reference(bands, logmel, ema0, noise0,
+                                 prev_p0=None, prev_m0=None):
     """Straight numpy transcription of the sequential recurrences the
-    parallel kernel replaces."""
+    parallel kernel replaces (incl. the spectral-motion duty-cycle gate)."""
     from ffsubsync_tpu.ops import vad as vad_mod
 
     alpha = vad_mod._ENERGY_EMA_ALPHA
@@ -141,20 +142,61 @@ def _webrtc_sequential_reference(bands, ema0, noise0):
     w = vad_mod._BAND_WEIGHTS
     thresh = vad_mod._SNR_THRESHOLD_DB
     hang_n = vad_mod._HANGOVER_WINDOWS
+    k = vad_mod._FLUX_BOX_K
+    n = len(bands)
+
+    mel = np.exp(logmel)
+    p = mel / mel.sum(axis=1, keepdims=True)
+    flux = np.empty(n)
+    prev = p[0] if prev_p0 is None else prev_p0
+    for t in range(n):
+        flux[t] = 0.5 * np.abs(p[t] - prev).sum()
+        prev = p[t]
+
     e = np.maximum(bands, 1e-12)
     ema = ema0.copy()
     noise = noise0.copy()
-    speech = np.zeros(len(e), bool)
-    hang = 0
-    for t in range(len(e)):
+    score = np.empty(n)
+    noise_frac = np.empty(n)
+    for t in range(n):
         ema = np.where(np.isinf(ema), e[t], alpha * e[t] + (1 - alpha) * ema)
         noise = np.minimum(ema, noise * growth)
         snr_db = 10.0 * (np.log10(ema) - np.log10(noise))
-        score = float(np.dot(snr_db, w) / w.sum())
-        raw = score > thresh
+        score[t] = float(np.dot(snr_db, w) / w.sum())
+        noise_frac[t] = noise.sum() / ema.sum()
+    flux_c = np.maximum(flux - vad_mod._FLUX_NOISE_C * noise_frac, 0.0)
+    moving = flux_c > vad_mod._FLUX_MOVE_THRESHOLD
+    active = score > thresh
+    ind = np.stack([(moving & active) * 1.0, active * 1.0], axis=1)
+    n_prev = 0 if prev_m0 is None else len(prev_m0)
+    ind_ext = np.concatenate(
+        [prev_m0 if n_prev else np.zeros((0, 2)), ind], axis=0
+    )
+    frac = np.empty(n)
+    for t in range(n):
+        lo = max(t - k, -n_prev) + n_prev
+        hi = min(t + k, n - 1) + n_prev
+        box = ind_ext[lo : hi + 1]
+        frac[t] = box[:, 0].sum() / max(box[:, 1].sum(), 1.0)
+
+    speech = np.zeros(n, bool)
+    hang = 0
+    for t in range(n):
+        raw = (
+            active[t]
+            and moving[t]
+            and frac[t] > vad_mod._FLUX_FRAC_THRESHOLD
+        )
         hang = hang_n if raw else max(hang - 1, 0)
         speech[t] = hang > 0
-    return speech, ema, noise
+    return speech, ema, noise, p[-1], ind_ext[-k:], min(n_prev + n, k)
+
+
+def _random_logmel(rng, t, m=40):
+    # spectra with real frame-to-frame structure: a slow drift component
+    # plus per-frame jitter, so the flux gate sees both regimes
+    base = np.cumsum(rng.randn(t, m) * 0.2, axis=0) * 0.1
+    return (base + rng.randn(t, m)).astype(np.float32)
 
 
 @pytest.mark.parametrize("carry_in", [False, True])
@@ -167,22 +209,48 @@ def test_parallel_webrtc_matches_sequential(carry_in):
     bands = np.exp(rng.randn(t, b)).astype(np.float32)
     bands[100:160] *= 300.0
     bands[300:330] *= 500.0
+    logmel = _random_logmel(rng, t)
+    from ffsubsync_tpu.ops import vad as vad_mod
+
+    k = vad_mod._FLUX_BOX_K
     if carry_in:
         ema0 = np.exp(rng.randn(b)).astype(np.float32)
         noise0 = (np.exp(rng.randn(b)) * 0.1).astype(np.float32)
+        prev_p0 = rng.dirichlet(np.ones(40)).astype(np.float32)
+        prev_act = (rng.rand(k) > 0.3).astype(np.float32)
+        prev_m0 = np.stack(
+            [(rng.rand(k) > 0.5).astype(np.float32) * prev_act, prev_act],
+            axis=1,
+        )
+        prev_len0 = np.int32(k)
     else:
         ema0 = np.full(b, np.inf, np.float32)
         noise0 = np.full(b, np.inf, np.float32)
+        prev_p0 = np.full(40, np.inf, np.float32)
+        prev_m0 = np.zeros((k, 2), np.float32)
+        prev_len0 = np.int32(0)
 
-    want_speech, want_ema, want_noise = _webrtc_sequential_reference(
-        bands.astype(np.float64), ema0.astype(np.float64), noise0.astype(np.float64)
+    want_speech, want_ema, want_noise, want_p, want_m, want_len = (
+        _webrtc_sequential_reference(
+            bands.astype(np.float64),
+            logmel.astype(np.float64),
+            ema0.astype(np.float64),
+            noise0.astype(np.float64),
+            prev_p0=None if not carry_in else prev_p0.astype(np.float64),
+            prev_m0=None if not carry_in else prev_m0.astype(np.float64),
+        )
     )
-    got_speech, got_ema, got_noise = _webrtc_from_bands(
-        jnp.asarray(bands), jnp.int32(t), jnp.asarray(ema0), jnp.asarray(noise0)
+    got_speech, got_ema, got_noise, got_p, got_m, got_len = _webrtc_from_bands(
+        jnp.asarray(bands), jnp.asarray(logmel), jnp.int32(t),
+        jnp.asarray(ema0), jnp.asarray(noise0), jnp.asarray(prev_p0),
+        jnp.asarray(prev_m0), prev_len0,
     )
     assert np.array_equal(np.asarray(got_speech), want_speech)
     np.testing.assert_allclose(np.asarray(got_ema), want_ema, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(got_noise), want_noise, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_p), want_p, rtol=1e-3, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_m), want_m)
+    assert int(got_len) == want_len
 
 
 def test_parallel_webrtc_padding_is_inert():
@@ -193,20 +261,36 @@ def test_parallel_webrtc_padding_is_inert():
     t, b = 257, 6
     bands = np.exp(rng.randn(t, b)).astype(np.float32)
     bands[50:90] *= 200.0
+    logmel = _random_logmel(rng, t)
+    from ffsubsync_tpu.ops import vad as vad_mod
+
+    k = vad_mod._FLUX_BOX_K
     ema0 = np.full(b, np.inf, np.float32)
     noise0 = np.full(b, np.inf, np.float32)
+    prev_p0 = np.full(40, np.inf, np.float32)
+    prev_m0 = np.zeros((k, 2), np.float32)
+    prev_len0 = np.int32(0)
 
-    s1, e1, n1 = _webrtc_from_bands(
-        jnp.asarray(bands), jnp.int32(t), jnp.asarray(ema0), jnp.asarray(noise0)
+    s1, e1, n1, p1, m1, l1 = _webrtc_from_bands(
+        jnp.asarray(bands), jnp.asarray(logmel), jnp.int32(t),
+        jnp.asarray(ema0), jnp.asarray(noise0), jnp.asarray(prev_p0),
+        jnp.asarray(prev_m0), prev_len0,
     )
     padded = np.zeros((512, b), np.float32)
     padded[:t] = bands
-    s2, e2, n2 = _webrtc_from_bands(
-        jnp.asarray(padded), jnp.int32(t), jnp.asarray(ema0), jnp.asarray(noise0)
+    padded_lm = np.zeros((512, 40), np.float32)
+    padded_lm[:t] = logmel
+    s2, e2, n2, p2, m2, l2 = _webrtc_from_bands(
+        jnp.asarray(padded), jnp.asarray(padded_lm), jnp.int32(t),
+        jnp.asarray(ema0), jnp.asarray(noise0), jnp.asarray(prev_p0),
+        jnp.asarray(prev_m0), prev_len0,
     )
     assert np.array_equal(np.asarray(s1)[:t], np.asarray(s2)[:t])
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(n1), np.asarray(n2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    assert int(l1) == int(l2)
 
 
 def test_detector_chunked_vs_fullsignal_webrtc():

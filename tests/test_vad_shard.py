@@ -37,6 +37,9 @@ def _monolithic_labels(pcm, mode, frame_rate, sample_rate, nsl):
         jnp.int32(n_windows),
         jnp.full((V._N_BANDS,), jnp.inf, jnp.float32),
         jnp.full((V._N_BANDS,), jnp.inf, jnp.float32),
+        jnp.full((N_MELS,), jnp.inf, jnp.float32),
+        jnp.zeros((V._FLUX_BOX_K, 2), jnp.float32),
+        jnp.int32(0),
         params,
         jnp.float32(nsl),
         mats.window,
@@ -85,7 +88,9 @@ def test_sharded_vad_alignment_end_to_end(monkeypatch):
     shift = 1.75
     cand = rasterize_intervals([(a - shift, b - shift) for a, b in spans], 100)
     result = align_candidates(signal, [cand], max_offset_samples=500)[0]
-    assert result.offset == int(shift * 100)
+    # the detector's hangover extends span tails asymmetrically, which can
+    # move the correlation argmax by one 10 ms window
+    assert abs(result.offset - int(shift * 100)) <= 1
 
 
 def test_sp_vad_product_wiring(tmp_path, monkeypatch):
