@@ -1,4 +1,5 @@
-.PHONY: all native test bench clean
+.PHONY: all native test bench clean black blackcheck lint typecheck \
+	docscheck check
 
 all: native
 
@@ -8,7 +9,24 @@ native:
 test:
 	python -m pytest tests/ -q
 
-check:  # full suite incl. the data-driven integration tier (parity: reference Makefile)
+black:
+	black ffsubsync_tpu tests scripts bench.py __graft_entry__.py setup.py
+
+blackcheck:
+	black --check ffsubsync_tpu tests scripts bench.py __graft_entry__.py setup.py
+
+lint:
+	flake8 ffsubsync_tpu tests scripts bench.py __graft_entry__.py setup.py
+
+typecheck:
+	mypy ffsubsync_tpu
+
+docscheck:  # docs/cli.md is generated from the parser; fail on drift
+	python scripts/gen_cli_docs.py --check
+
+# format + lint + types + full suite incl. the data-driven integration tier
+# (parity: reference Makefile:16-33 `check`)
+check: blackcheck lint typecheck docscheck
 	INTEGRATION=1 python -m pytest tests/ -q
 
 bench:

@@ -337,7 +337,19 @@ def add_cli_only_args(parser: argparse.ArgumentParser) -> None:
 
 
 def make_parser() -> argparse.ArgumentParser:
-    parser = argparse.ArgumentParser(description="Synchronize subtitles with video.")
+    parser = argparse.ArgumentParser(
+        description="Synchronize subtitles with video.",
+        # additive TPU surface only — the flag set above stays drop-in
+        # compatible with the reference CLI
+        epilog=(
+            "TPU environment toggles: FFS_TPU_SP_VAD=1 shards one movie's "
+            "VAD across all attached devices (sequence parallelism; needs "
+            ">=2 devices); FFS_TPU_PIPELINE_SECONDS sets the async "
+            "dispatch chunk length (0 = one monolithic launch); "
+            "FFS_TPU_STREAMING_VAD=1 forces constant-memory streaming. "
+            "See docs/index.md for the full list."
+        ),
+    )
     add_main_args_for_cli(parser)
     add_cli_only_args(parser)
     return parser

@@ -16,7 +16,7 @@ from typing import Any, List, Optional, Tuple
 
 import numpy as np
 
-from ffsubsync_tpu.media.ffmpeg import ffmpeg_bin_path, ffprobe_json
+from ffsubsync_tpu.media.ffmpeg import ffprobe_json
 from ffsubsync_tpu.subs.raster import RasterSpec, rasterize_intervals
 
 logger = logging.getLogger(__name__)

@@ -122,6 +122,17 @@ def _align_candidates_host(
     ~100 MB of host RAM for nothing; K is single-digit). Offsets are gathered
     in descending order so ``np.argmax``'s first-maximum tie-break matches the
     device kernel and the reference (aligners.py:41-48).
+
+    Precision note: the host FFT runs in float64 (numpy's native width — and
+    the width the reference itself correlates at) while the device kernel
+    uses float32; the reported *score* is an exact dot product on both
+    paths, so only the argmax over the raw correlation can see rounding.
+    On a mathematically exact tie this path resolves by the descending-
+    offset ordering (pinned by tests/test_alignment.py::
+    test_exact_tie_breaks_same_on_both_paths); the device kernel's pick
+    among exactly-tied offsets is float32-FFT-rounding-determined — real
+    audio correlations never tie exactly, and cross-candidate selection is
+    protected by the exact rescore either way.
     """
     ref_pm = _host_pm(ref, n)
     ref_f = np.fft.rfft(ref_pm)

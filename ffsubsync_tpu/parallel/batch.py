@@ -14,7 +14,7 @@ the whole batch.
 """
 import logging
 from functools import partial
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 

@@ -15,7 +15,7 @@ library-parity) plus the device-oriented accessors the TPU sync core uses:
   speech_transformers.py:1127-1130).
 """
 import logging
-from typing import Any, List, Optional, Union
+from typing import Any, Optional, Union
 
 import numpy as np
 

@@ -17,7 +17,7 @@ implementation covering the same surface:
 """
 import logging
 import re
-from typing import Any, Dict, Iterable, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 from ffsubsync_tpu.subs.model import Cue, SrtRecord, SsaEventRecord
 

@@ -33,7 +33,7 @@ from ffsubsync_tpu.constants import (
 )
 from ffsubsync_tpu.media.ffmpeg import ffmpeg_bin_path
 from ffsubsync_tpu.utils.archive import make_test_case, session_log_path
-from ffsubsync_tpu.validation import (
+from ffsubsync_tpu.validation import (  # noqa: F401  (re-export for tests)
     detect_sibling_subtitles as _detect_srtin_from_reference,
     reference_format as _ref_format,
     resolve_output_path as _resolve_srtout,
@@ -87,15 +87,21 @@ def get_srt_source_maker(
 
 
 def get_framerate_ratios_to_try(args: argparse.Namespace) -> List[Optional[float]]:
-    """The discrete ratio grid ± inverses; ``None`` marks the gss slot."""
+    """Candidate framerate scale factors for the grid search.
+
+    Each known conversion ratio is tried in both directions (the subtitles may
+    be faster OR slower than the media); a trailing ``None`` slot requests the
+    continuous gss refinement when ``--gss`` is on. Empty under
+    ``--no-fix-framerate`` (contract: ffsubsync/ffsubsync.py:131-142).
+    """
     if args.no_fix_framerate:
         return []
-    framerate_ratios = list(
-        np.concatenate([np.array(FRAMERATE_RATIOS), 1.0 / np.array(FRAMERATE_RATIOS)])
-    )
+    grid: List[Optional[float]] = [
+        r for ratio in FRAMERATE_RATIOS for r in (ratio, 1.0 / ratio)
+    ]
     if args.gss:
-        framerate_ratios.append(None)
-    return framerate_ratios
+        grid.append(None)
+    return grid
 
 
 def assess_alignment_quality(
@@ -107,21 +113,31 @@ def assess_alignment_quality(
     max_offset_seconds: float,
     max_framerate_deviation: float,
 ) -> List[str]:
-    """Reasons an alignment looks too low-quality to trust (empty = trust it)."""
-    reasons: List[str] = []
-    if best_score < min_score:
-        reasons.append("score %.1f < %.1f" % (best_score, min_score))
-    if abs(offset_seconds) > max_offset_seconds:
-        reasons.append(
-            "|offset| %.1fs > %.1fs" % (abs(offset_seconds), max_offset_seconds)
-        )
+    """Reasons an alignment looks too low-quality to trust (empty = trust it).
+
+    Rule table mirroring the reference gate (ffsubsync/ffsubsync.py:145-174):
+    an anti-correlated best score, an implausibly large shift, or a framerate
+    scale far from 1.0 each suggest a spurious match. Threshold values and the
+    human-readable reason strings are contract surface
+    (tests/test_quality_gate.py).
+    """
     framerate_deviation = abs(scale_factor - 1.0)
-    if framerate_deviation > max_framerate_deviation:
-        reasons.append(
+    rules = (
+        (
+            best_score < min_score,
+            "score %.1f < %.1f" % (best_score, min_score),
+        ),
+        (
+            abs(offset_seconds) > max_offset_seconds,
+            "|offset| %.1fs > %.1fs" % (abs(offset_seconds), max_offset_seconds),
+        ),
+        (
+            framerate_deviation > max_framerate_deviation,
             "framerate deviation %.3f > %.3f"
-            % (framerate_deviation, max_framerate_deviation)
-        )
-    return reasons
+            % (framerate_deviation, max_framerate_deviation),
+        ),
+    )
+    return [reason for failed, reason in rules if failed]
 
 
 GSS_TOL = 1e-4  # same tolerance as the reference (golden_section_search.py:15)

@@ -11,7 +11,6 @@ decoder drives per chunk.
 import io
 import logging
 import sys
-from contextlib import contextmanager
 from typing import Callable, NamedTuple, Optional
 
 logger = logging.getLogger(__name__)

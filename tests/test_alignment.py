@@ -186,6 +186,34 @@ def test_host_align_matches_device(seed):
             assert d.score == pytest.approx(h.score, abs=1e-2)
 
 
+def test_exact_tie_breaks_same_on_both_paths():
+    """A mathematically exact correlation tie resolves by the pinned
+    descending-offset rule on the float64 host path (the reference's own
+    numeric width, aligners.py:41-48). The float32 device kernel's outcome
+    on degenerate ties is FFT-rounding-determined (documented in
+    ops/align._align_candidates_host) — real audio correlations never tie
+    exactly, and cross-candidate *selection* is protected by the exact-dot
+    rescore on both paths."""
+    prefer_host = True
+    # reference repeats the same burst at t=100 and t=300; a single-burst
+    # candidate correlates identically at offsets 100 and 300
+    ref = np.zeros(512)
+    ref[100:120] = 1.0
+    ref[300:320] = 1.0
+    cand = RasterSpec(
+        n_samples=128,
+        starts=np.array([0], np.int32),
+        ends=np.array([20], np.int32),
+        weight=1.0,
+        max_time=1.28,
+        sample_rate=100,
+    )
+    result = align_candidates(
+        ref, [cand], max_offset_samples=400, prefer_host=prefer_host
+    )[0]
+    assert result.offset == 300  # largest offset wins the tie
+
+
 def test_host_align_env_override(monkeypatch):
     """FFS_TPU_HOST_ALIGN forces the path regardless of caller preference."""
     from ffsubsync_tpu.ops import align as align_mod

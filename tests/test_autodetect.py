@@ -3,7 +3,6 @@
 (modeled on the reference's tests/test_autodetect.py:20-135)."""
 import os
 
-import pytest
 
 from ffsubsync_tpu.cli import make_parser
 from ffsubsync_tpu.sync import (

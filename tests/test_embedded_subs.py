@@ -8,7 +8,6 @@ invocation counts and fallback cascades, and guards filesystem cleanliness.
 """
 import os
 
-import numpy as np
 import pytest
 
 import ffsubsync_tpu.media.embedded as embedded

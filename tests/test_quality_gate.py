@@ -9,8 +9,7 @@ import os
 import pytest
 
 from ffsubsync_tpu.cli import make_parser
-from ffsubsync_tpu.subs.parser import SubtitleParser
-from ffsubsync_tpu.sync import assess_alignment_quality, run, try_sync
+from ffsubsync_tpu.sync import assess_alignment_quality, run
 
 from tests.test_sync_e2e import REF_SRT, _make_unsynced, _parse_times, _write
 

@@ -5,7 +5,6 @@ test_max_duration.py, test_extract_audio.py)."""
 import os
 import tarfile
 
-import pytest
 
 from ffsubsync_tpu.cli import make_parser
 from ffsubsync_tpu.constants import is_remote_url
