@@ -17,11 +17,14 @@ Library surface::
 CLI (``ffs-tpu-batch``)::
 
     ffs-tpu-batch manifest.tsv        # lines: reference<TAB>srtin<TAB>srtout
-    ffs-tpu-batch --vad fused manifest.tsv
+    ffs-tpu-batch --vad fused --gss manifest.tsv
 
-Batch mode supports the discrete framerate-ratio grid and the
-duration-inferred ratio; per-job golden-section refinement is a
-single-file feature (run `ffs` on the stragglers it flags).
+Every single-file reference kind works here — subtitles, serialized
+npy/npz, PGS streams (``--pgs-ref-stream``), multi-segment sampling
+(``--multi-segment-sync``), and plain video/audio — because the dispatch is
+the SAME ``sync.make_reference_extractor`` the single-file path uses.
+``--gss`` refines each job's framerate ratio with the batched grid
+refinement: one sharded launch per round scores EVERY job's ratio grid.
 """
 import argparse
 import concurrent.futures
@@ -48,28 +51,48 @@ from ffsubsync_tpu.subs.transforms import shift_document
 logger = logging.getLogger(__name__)
 
 
-def _make_ref_source(reference: str, vad: str, frame_rate: int) -> Any:
-    """Reference dispatch, mirroring sync.make_reference_extractor's order
-    for the formats batch mode supports (subtitles / npz / video-audio)."""
+def _make_ref_source(reference: str, vad: str, frame_rate: int,
+                     ref_options: Optional[Dict[str, Any]] = None) -> Any:
+    """Reference dispatch via the single-file ``make_reference_extractor``.
+
+    A minimal argparse-style namespace carries the per-batch options, so
+    every reference kind the single-file path accepts (PGS streams,
+    multi-segment sampling, subtitle/npz/audio) works in a manifest too.
+    """
+    from ffsubsync_tpu.sync import make_reference_extractor
     from ffsubsync_tpu.validation import reference_format
 
+    opts = dict(ref_options or {})
     ref_format = reference_format(reference)
-    if ref_format in SUBTITLE_EXTENSIONS:
-        from ffsubsync_tpu.speech import SubtitleSpeechSource
-
-        return SubtitleSpeechSource(fmt=ref_format)
-    if ref_format in ("npy", "npz"):
-        from ffsubsync_tpu.speech import DeserializeSpeechSource
-
-        return DeserializeSpeechSource(DEFAULT_NON_SPEECH_LABEL)
-    from ffsubsync_tpu.media.audio import VideoSpeechSource
-
-    return VideoSpeechSource(
-        vad=vad,
-        sample_rate=SAMPLE_RATE,
+    ns = argparse.Namespace(
+        reference=reference,
+        # a non-movie reference never consults the VAD; leaving it unset
+        # skips the single-file path's "vad specified but reference was not
+        # a movie" warning, which would fire once per manifest line
+        vad=(
+            None
+            if ref_format in SUBTITLE_EXTENSIONS or ref_format in ("npy", "npz")
+            else vad
+        ),
         frame_rate=frame_rate,
         non_speech_label=DEFAULT_NON_SPEECH_LABEL,
+        reference_encoding=None,
+        max_subtitle_seconds=opts.get("max_subtitle_seconds", 10),
+        start_seconds=opts.get("start_seconds", 0),
+        strict=False,
+        pgs_ref_stream=opts.get("pgs_ref_stream"),
+        reference_stream=opts.get("reference_stream"),
+        multi_segment_sync=opts.get("multi_segment_sync", False),
+        segment_count=opts.get("segment_count", 8),
+        skip_intro_outro=opts.get("skip_intro_outro", False),
+        parallel_workers=opts.get("parallel_workers", 4),
+        max_duration_seconds=opts.get("max_duration_seconds"),
+        extract_audio_first=False,
+        ffmpeg_path=opts.get("ffmpeg_path"),
+        vlc_mode=False,
+        gui_mode=False,
     )
+    return make_reference_extractor(ns)
 
 
 def sync_batch(
@@ -78,15 +101,28 @@ def sync_batch(
     frame_rate: int = DEFAULT_FRAME_RATE,
     max_offset_seconds: float = DEFAULT_MAX_OFFSET_SECONDS,
     no_fix_framerate: bool = False,
+    gss: bool = False,
     decode_workers: int = 4,
     mesh: Any = None,
+    output_encoding: str = "utf-8",
+    min_score: float = DEFAULT_MIN_SCORE,
+    quality_max_offset_seconds: float = DEFAULT_QUALITY_MAX_OFFSET_SECONDS,
+    max_framerate_deviation: float = DEFAULT_MAX_FRAMERATE_DEVIATION,
+    ref_options: Optional[Dict[str, Any]] = None,
 ) -> List[Dict[str, Any]]:
     """Sync every ``(reference, srtin, srtout)`` job; one sharded search.
 
     ``srtout`` must be a path for every job (stdout makes no sense for a
-    batch). Returns one result dict per job:
-    ``{reference, srtin, srtout, offset_seconds, framerate_scale_factor,
-    sync_was_successful, error}``.
+    batch). With ``gss``, the discrete grid search is followed by batched
+    grid-refinement rounds — per round, ONE sharded launch scores every
+    job's ratio grid (the batch form of sync._run_gss_search). Returns one
+    result dict per job: ``{reference, srtin, srtout, offset_seconds,
+    framerate_scale_factor, sync_was_successful, error}``.
+
+    ``output_encoding`` follows the single-file flag's semantics ("same"
+    preserves each input's detected encoding); ``ref_options`` forwards
+    reference-extraction settings (pgs_ref_stream, multi_segment_sync,
+    segment_count, start_seconds, ...) to ``make_reference_extractor``.
     """
     from ffsubsync_tpu.parallel.batch import BatchAligner
     from ffsubsync_tpu.speech import make_subtitle_speech_source
@@ -117,7 +153,7 @@ def sync_batch(
     # --- speech extraction (decode is I/O-bound; VAD is one device launch) --
     def _extract(idx: int):
         reference = jobs[idx][0]
-        source = _make_ref_source(reference, vad, frame_rate)
+        source = _make_ref_source(reference, vad, frame_rate, ref_options)
         source.fit(reference)
         return source
 
@@ -141,6 +177,7 @@ def sync_batch(
     refs: List[np.ndarray] = []
     cands: List[List[Any]] = []
     sources_per_job: List[List[Any]] = []
+    makers_per_job: List[Any] = []  # ratio -> fitted source (gss rounds)
     live: List[int] = []
     for i, (reference, srtin, _srtout) in enumerate(jobs):
         if ref_sources[i] is None:
@@ -181,6 +218,7 @@ def sync_batch(
             )
             cands.append([s.spec_ for s in sub_sources])
             sources_per_job.append(sub_sources)
+            makers_per_job.append(maker)
             live.append(i)
         except Exception as e:
             logger.exception("failed to prepare job %d", i)
@@ -195,6 +233,61 @@ def sync_batch(
     all_alignments = aligner.align_batch(
         refs, cands, max_offset_samples=max_offset_samples
     )
+
+    if gss and not no_fix_framerate:
+        # batched grid refinement (the batch form of sync._run_gss_search):
+        # per round, ONE sharded launch scores all jobs' 33-ratio grids;
+        # each job then narrows its own bracket around its argmax. The
+        # final round's candidates join that job's selection pool, exactly
+        # as the single-file gss slot does.
+        from ffsubsync_tpu.sync import (
+            GSS_TOL,
+            MAX_FRAMERATE_RATIO,
+            MIN_FRAMERATE_RATIO,
+            _GSS_GRID_K,
+        )
+
+        brackets = [(MIN_FRAMERATE_RATIO, MAX_FRAMERATE_RATIO)] * len(live)
+        while True:
+            steps = [
+                (hi - lo) / (_GSS_GRID_K - 1) for lo, hi in brackets
+            ]
+            round_ratios = [
+                [lo + i * step for i in range(_GSS_GRID_K)]
+                for (lo, _hi), step in zip(brackets, steps)
+            ]
+            round_sources = [
+                [makers_per_job[j](r) for r in ratios]  # maker fits
+                for j, ratios in enumerate(round_ratios)
+            ]
+            round_aligns = aligner.align_batch(
+                refs,
+                [[s.spec_ for s in srcs] for srcs in round_sources],
+                max_offset_samples=max_offset_samples,
+            )
+            if max(steps) <= GSS_TOL:
+                for j in range(len(live)):
+                    all_alignments[j] = (
+                        list(all_alignments[j]) + list(round_aligns[j])
+                    )
+                    sources_per_job[j] = (
+                        list(sources_per_job[j]) + list(round_sources[j])
+                    )
+                break
+            brackets = [
+                (
+                    max(MIN_FRAMERATE_RATIO, ratios[best_i] - step),
+                    min(MAX_FRAMERATE_RATIO, ratios[best_i] + step),
+                )
+                for ratios, step, best_i in (
+                    (
+                        round_ratios[j],
+                        steps[j],
+                        int(np.argmax([a.score for a in round_aligns[j]])),
+                    )
+                    for j in range(len(live))
+                )
+            ]
 
     # --- per-job selection + output ----------------------------------------
     for j, i in enumerate(live):
@@ -213,16 +306,18 @@ def sync_batch(
             offset_seconds = best.offset / float(SAMPLE_RATE)
             out_subs = shift_document(best_source.scaled_doc_, offset_seconds)
             srtout = jobs[i][2]
-            out_subs.set_encoding("utf-8").write_file(srtout)
+            if output_encoding != "same":
+                out_subs = out_subs.set_encoding(output_encoding)
+            out_subs.write_file(srtout)
             # flag (but still write) syncs the single-file quality gate would
             # reject, so "re-run ffs on the stragglers" is actionable
             quality_reasons = assess_alignment_quality(
                 best.score,
                 offset_seconds,
                 best_source.scale_factor,
-                min_score=DEFAULT_MIN_SCORE,
-                max_offset_seconds=DEFAULT_QUALITY_MAX_OFFSET_SECONDS,
-                max_framerate_deviation=DEFAULT_MAX_FRAMERATE_DEVIATION,
+                min_score=min_score,
+                max_offset_seconds=quality_max_offset_seconds,
+                max_framerate_deviation=max_framerate_deviation,
             )
             results[i].update(
                 offset_seconds=offset_seconds,
@@ -264,17 +359,43 @@ def main() -> int:
     parser.add_argument(
         "--gss",
         action="store_true",
-        help="Accepted for CLI compatibility; batch mode does not implement "
-        "golden-section refinement (a warning is printed and the flag is "
-        "ignored — run `ffs` on flagged jobs for --gss).",
+        help="Refine each job's framerate ratio with batched grid "
+        "refinement (one sharded launch per round scores every job's "
+        "ratio grid).",
     )
+    parser.add_argument(
+        "--output-encoding",
+        default="utf-8",
+        help="Output character encoding ('same' preserves each input's "
+        "detected encoding; single-file semantics).",
+    )
+    parser.add_argument("--min-score", type=float, default=DEFAULT_MIN_SCORE)
+    parser.add_argument(
+        "--quality-max-offset-seconds",
+        type=float,
+        default=DEFAULT_QUALITY_MAX_OFFSET_SECONDS,
+    )
+    parser.add_argument(
+        "--max-framerate-deviation",
+        type=float,
+        default=DEFAULT_MAX_FRAMERATE_DEVIATION,
+    )
+    parser.add_argument(
+        "--pgs-ref-stream",
+        default=None,
+        help="Treat the references as PGS subtitle streams "
+        "('auto' or a stream specifier, as in the single-file flag).",
+    )
+    parser.add_argument(
+        "--reference-stream",
+        default=None,
+        help="Audio/subtitle stream to use from each reference.",
+    )
+    parser.add_argument("--multi-segment-sync", action="store_true")
+    parser.add_argument("--segment-count", type=int, default=8)
+    parser.add_argument("--start-seconds", type=int, default=0)
+    parser.add_argument("--max-duration-seconds", type=float, default=None)
     args = parser.parse_args()
-    if args.gss:
-        logger.warning(
-            "--gss is ignored in batch mode; the discrete framerate-ratio "
-            "grid and the duration-inferred ratio are still searched. Run "
-            "`ffs --gss` on any job this batch flags as low quality."
-        )
     jobs: List[Tuple[str, str, str]] = []
     with open(args.manifest) as f:
         for lineno, line in enumerate(f, 1):
@@ -298,7 +419,20 @@ def main() -> int:
         frame_rate=args.frame_rate,
         max_offset_seconds=args.max_offset_seconds,
         no_fix_framerate=args.no_fix_framerate,
+        gss=args.gss,
         decode_workers=args.decode_workers,
+        output_encoding=args.output_encoding,
+        min_score=args.min_score,
+        quality_max_offset_seconds=args.quality_max_offset_seconds,
+        max_framerate_deviation=args.max_framerate_deviation,
+        ref_options={
+            "pgs_ref_stream": args.pgs_ref_stream,
+            "reference_stream": args.reference_stream,
+            "multi_segment_sync": args.multi_segment_sync,
+            "segment_count": args.segment_count,
+            "start_seconds": args.start_seconds,
+            "max_duration_seconds": args.max_duration_seconds,
+        },
     )
     failed = [r for r in results if r["error"] or not r["sync_was_successful"]]
     for r in results:

@@ -322,12 +322,6 @@ def add_cli_only_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--skip-sync", action="store_true", help=argparse.SUPPRESS)
     # --- TPU-specific extensions (additive) ---
     parser.add_argument(
-        "--device-batch",
-        type=int,
-        default=None,
-        help=argparse.SUPPRESS,  # reserved for the batch/slice API
-    )
-    parser.add_argument(
         "--profile-dir",
         default=None,
         help="Capture a device profile of the sync into this directory "

@@ -132,6 +132,84 @@ def test_sync_batch_flags_low_quality_but_still_writes(tmp_path):
     assert open(result["srtout"]).read()  # flagged, but written
 
 
+def test_sync_batch_gss_refines_ratio(tmp_path):
+    """--gss in batch mode: the batched grid-refinement rounds must recover
+    a framerate ratio OUTSIDE the discrete grid (the single-file gss
+    contract, sync._run_gss_search, batched over jobs)."""
+    true_ratio = 1.0137  # not in FRAMERATE_RATIOS or their inverses
+    shifts = [2.0, -1.5]
+    jobs = []
+    for i, shift in enumerate(shifts):
+        ref = tmp_path / ("g%d_ref.srt" % i)
+        ref.write_text(_srt(SPANS))
+        srtin = tmp_path / ("g%d_in.srt" % i)
+        srtin.write_text(
+            _srt([(a / true_ratio - shift, b / true_ratio - shift)
+                  for a, b in SPANS])
+        )
+        jobs.append((str(ref), str(srtin), str(tmp_path / ("g%d_out.srt" % i))))
+    results = sync_batch(jobs, gss=True)
+    for r, shift in zip(results, shifts):
+        assert r["error"] is None, r["error"]
+        assert r["framerate_scale_factor"] == pytest.approx(
+            true_ratio, abs=2e-3
+        )
+        out_text = open(r["srtout"]).read()
+        assert _ts(SPANS[0][0]).rsplit(",", 1)[0] in out_text
+
+
+def test_sync_batch_output_encoding_same_preserves_input(tmp_path):
+    """output_encoding='same' keeps each input's detected encoding (the
+    single-file --output-encoding semantics), instead of forcing utf-8."""
+    ref = tmp_path / "ref.srt"
+    ref.write_text(_srt(SPANS))
+    srtin = tmp_path / "in.srt"
+    body = _srt([(a - 1.0, b - 1.0) for a, b in SPANS]).replace(
+        "line 1", "ligne n° 1"
+    )
+    srtin.write_bytes(body.encode("cp1252"))
+    out = tmp_path / "out.srt"
+    [result] = sync_batch(
+        [(str(ref), str(srtin), str(out))], output_encoding="same"
+    )
+    assert result["error"] is None
+    raw = out.read_bytes()
+    assert "ligne n° 1".encode("cp1252") in raw
+    [result] = sync_batch(
+        [(str(ref), str(srtin), str(out))], output_encoding="utf-8"
+    )
+    assert "ligne n° 1".encode("utf-8") in out.read_bytes()
+
+
+def test_sync_batch_pgs_reference(tmp_path, monkeypatch):
+    """A PGS-stream reference syncs through the batch path (the same
+    make_reference_extractor dispatch as the single-file CLI)."""
+    import ffsubsync_tpu.media.pgs as pgs
+
+    packets = [
+        {"pts_time": str(a), "duration_time": str(b - a), "size": "4000"}
+        for a, b in SPANS
+    ]
+    streams = [
+        {"codec_type": "subtitle", "codec_name": "hdmv_pgs_subtitle",
+         "index": 2}
+    ]
+    monkeypatch.setattr(
+        pgs, "ffprobe_json",
+        lambda *a, **k: {"streams": streams, "packets": packets},
+    )
+    srtin = tmp_path / "in.srt"
+    srtin.write_text(_srt([(a - 2.0, b - 2.0) for a, b in SPANS]))
+    out = tmp_path / "out.srt"
+    [result] = sync_batch(
+        [("movie.mkv", str(srtin), str(out))],
+        ref_options={"pgs_ref_stream": "auto"},
+    )
+    assert result["error"] is None, result["error"]
+    assert result["offset_seconds"] == pytest.approx(2.0, abs=0.02)
+    assert _ts(SPANS[0][0]).rsplit(",", 1)[0] in out.read_text()
+
+
 def test_sync_batch_requires_output_paths(tmp_path):
     job = _make_job(tmp_path, "q", 1.0)
     with pytest.raises(ValueError, match="output path"):
