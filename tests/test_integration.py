@@ -117,6 +117,87 @@ def _build_case(tmp_path, kind, perturb):
     return str(npz_path), str(unsynced)
 
 
+def test_integration_embedded_subs_fast_path(tmp_path, monkeypatch):
+    """The default subs_then_* mode's embedded-subtitle fast path, driven
+    through the FULL CLI with a protocol-faithful fake ffmpeg/ffprobe
+    (model: the reference's tests/test_embedded_subs.py driving the
+    extraction protocol — here all the way to the written output)."""
+    import ffsubsync_tpu.media.embedded as embedded
+
+    truth_srt = _srt_for_spans(SPANS).encode()
+
+    class _Popen:
+        def __init__(self, args, **kwargs):
+            self.returncode = 0
+            self._out = b""
+            if "ffprobe" in os.path.basename(args[0]):
+                self._out = b"2,subrip\n"
+            else:
+                # single-pass extraction writes to the temp .srt outputs
+                outs = [a for a in args if a.endswith(".srt")]
+                for p in outs:
+                    with open(p, "wb") as f:
+                        f.write(truth_srt)
+
+        @property
+        def stdout(self):
+            return self
+
+        def read(self, *a):
+            return self._out
+
+        def communicate(self, *a, **k):
+            return self._out, b""
+
+    monkeypatch.setattr(embedded.subprocess, "Popen", _Popen)
+    movie = tmp_path / "movie.mkv"
+    movie.write_bytes(b"\x00")
+    (tmp_path / "truth.srt").write_text(_srt_for_spans(SPANS))
+    unsynced = tmp_path / "unsynced.srt"
+    unsynced.write_text(_srt_for_spans([(a - 2.5, b - 2.5) for a, b in SPANS]))
+    out = tmp_path / "synced.srt"
+    args = make_parser().parse_args(
+        [str(movie), "-i", str(unsynced), "-o", str(out)]
+    )
+    result = run(args)
+    assert result["retval"] == 0
+    assert result["sync_was_successful"]
+    assert timestamps_roughly_match(str(tmp_path / "truth.srt"), str(out))
+
+
+def test_integration_pgs_reference(tmp_path, monkeypatch):
+    """A PGS (bitmap) subtitle stream as the reference, through the FULL
+    CLI: ffprobe fakes provide the stream listing and packet timings; the
+    output must land on the truth timeline."""
+    import ffsubsync_tpu.media.pgs as pgs
+
+    payload = {
+        "streams": [
+            {"codec_type": "subtitle", "codec_name": "hdmv_pgs_subtitle",
+             "index": 2}
+        ],
+        "packets": [
+            {"pts_time": str(a), "duration_time": str(b - a), "size": "4000"}
+            for a, b in SPANS
+        ],
+    }
+    monkeypatch.setattr(pgs, "ffprobe_json", lambda *a, **k: payload)
+    movie = tmp_path / "movie.mkv"
+    movie.write_bytes(b"\x00")
+    (tmp_path / "truth.srt").write_text(_srt_for_spans(SPANS))
+    unsynced = tmp_path / "unsynced.srt"
+    unsynced.write_text(_srt_for_spans([(a + 3.25, b + 3.25) for a, b in SPANS]))
+    out = tmp_path / "synced.srt"
+    args = make_parser().parse_args(
+        [str(movie), "-i", str(unsynced), "-o", str(out),
+         "--pgs-ref-stream", "auto"]
+    )
+    result = run(args)
+    assert result["retval"] == 0
+    assert result["sync_was_successful"]
+    assert timestamps_roughly_match(str(tmp_path / "truth.srt"), str(out))
+
+
 @pytest.mark.parametrize(
     "case_id,kind,perturb,extra",
     CASES if INTEGRATION else SMOKE_CASES,
