@@ -173,11 +173,19 @@ class NeuralVAD:
         self.window = frames_per_window(frame_rate, sample_rate)
         self._carry_feats: Optional[jnp.ndarray] = None  # [<=CONTEXT, N_MELS]
 
+    # weights path -> device-resident params. A detector is constructed per
+    # sync; re-reading the .npz and re-uploading identical parameters every
+    # run wastes host I/O and link time (the link is the pipeline bottleneck)
+    _params_cache: Dict[str, Dict[str, jnp.ndarray]] = {}
+
     @classmethod
     def load_default(cls, frame_rate: int, sample_rate: int) -> "NeuralVAD":
         from ffsubsync_tpu.ops.features import analysis_rate
 
         path = default_weights_path(analysis_rate(frame_rate, sample_rate))
+        cached = cls._params_cache.get(path)
+        if cached is not None:
+            return cls(cached, frame_rate=frame_rate, sample_rate=sample_rate)
         params = None
         if os.path.exists(path):
             loaded = np.load(path)
@@ -208,6 +216,7 @@ class NeuralVAD:
                 path,
             )
             params = init_params(jax.random.PRNGKey(0))
+        cls._params_cache[path] = params
         return cls(params, frame_rate=frame_rate, sample_rate=sample_rate)
 
     def predict_from_frontend(
