@@ -5,12 +5,15 @@ The reference shells out to the torch-hub silero-vad model one 10 ms frame at
 a time (ffsubsync/speech_transformers.py:186-236). This is a from-scratch
 TPU-first replacement:
 
-- **architecture**: log-mel features per 10 ms window → channel-mixing dense →
-  six *dilated* temporal convolutions (kernel 5, dilations 1/2/4/8/16/32,
-  ±1.26 s receptive field — wide enough to see phrase structure) →
-  per-window speech probability. Dilated convs rather than an RNN keep the
-  whole chunk's time axis parallel on the MXU — no sequential ``scan`` in
-  the hot path.
+- **architecture**: log-mel features per 10 ms window, augmented with three
+  engineered temporal channels (spectral flux, its ±0.3 s box mean, local
+  energy-modulation depth — :func:`_aux_channels`; computed inside the net
+  from its own input so every call site feeds plain log-mel) →
+  channel-mixing dense → six *dilated* temporal convolutions (kernel 5,
+  dilations 1/2/4/8/16/32, ±1.26 s receptive field — wide enough to see
+  phrase structure) → per-window speech probability. Dilated convs rather
+  than an RNN keep the whole chunk's time axis parallel on the MXU — no
+  sequential ``scan`` in the hot path.
 - **chunking**: inference runs on ~100 s chunks; the last `CONTEXT` windows of
   mel features carry over between chunks so convolution context does not
   truncate at chunk boundaries. Chunks are padded to a bucket length so XLA
@@ -23,7 +26,7 @@ TPU-first replacement:
 """
 import logging
 import os
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -37,11 +40,13 @@ logger = logging.getLogger(__name__)
 N_MELS = 40
 HIDDEN = 96
 KERNEL = 5
-# receptive field: ±2·Σd windows = ±1.26 s — wide enough to see phrase
-# structure (pauses between utterances), which is what separates dialogue
-# from continuous speech-like textures (crowd babble, laughter trains)
-DILATIONS = (1, 2, 4, 8, 16, 32)
-CONTEXT = 128  # windows of left context carried across chunks (≥ one-sided RF)
+# receptive field: ±2·Σd windows = ±2.54 s — wide enough to see phrase
+# structure (pauses between utterances) AND the seconds-scale texture that
+# separates a momentarily-dominant voice inside crowd babble from a real
+# dialogue turn (the babble failure mode is sub-second voice dominance;
+# only surrounding seconds of context disambiguate it)
+DILATIONS = (1, 2, 4, 8, 16, 32, 64)
+CONTEXT = 256  # windows of left context carried across chunks (≥ one-sided RF)
 
 # The chunk carry here AND the sequence-parallel halo exchange
 # (parallel/vad_shard.py) both move exactly CONTEXT rows of features; if the
@@ -54,10 +59,28 @@ assert (KERNEL // 2) * sum(DILATIONS) <= CONTEXT, (
 WEIGHTS_FILENAME = "neural_vad_weights.npz"
 
 
+N_AUX = 3  # engineered channels appended inside _net (_aux_channels)
+
+
+def expected_param_shapes() -> Dict[str, Tuple[int, ...]]:
+    """Parameter name -> shape for the CURRENT architecture (static)."""
+    shapes: Dict[str, Tuple[int, ...]] = {
+        "w_in": (N_MELS + N_AUX, HIDDEN),
+        "b_in": (HIDDEN,),
+        "w_out": (HIDDEN, 1),
+        "b_out": (1,),
+    }
+    for i in range(len(DILATIONS)):
+        shapes["w_conv%d" % i] = (KERNEL, HIDDEN, HIDDEN)
+        shapes["b_conv%d" % i] = (HIDDEN,)
+    return shapes
+
+
 def init_params(rng: jax.Array) -> Dict[str, jnp.ndarray]:
+    n_in = N_MELS + N_AUX
     keys = jax.random.split(rng, 2 + len(DILATIONS))
     params: Dict[str, jnp.ndarray] = {
-        "w_in": jax.random.normal(keys[0], (N_MELS, HIDDEN)) * (1.0 / np.sqrt(N_MELS)),
+        "w_in": jax.random.normal(keys[0], (n_in, HIDDEN)) * (1.0 / np.sqrt(n_in)),
         "b_in": jnp.zeros((HIDDEN,)),
         "w_out": jax.random.normal(keys[1], (HIDDEN, 1)) * (1.0 / np.sqrt(HIDDEN)),
         "b_out": jnp.zeros((1,)),
@@ -92,8 +115,44 @@ def _dilated_conv(x: jnp.ndarray, w: jnp.ndarray, dilation: int) -> jnp.ndarray:
     return y
 
 
+def _box_mean(v: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Centered ±k box mean of a [T] series (edge-clamped denominators)."""
+    s = jnp.concatenate([jnp.zeros((1,), v.dtype), jnp.cumsum(v)])
+    t = v.shape[0]
+    i = jnp.arange(t)
+    lo = jnp.maximum(i - k, 0)
+    hi = jnp.minimum(i + k, t - 1)
+    return (jnp.take(s, hi + 1) - jnp.take(s, lo)) / (hi - lo + 1)
+
+
+def _aux_channels(x: jnp.ndarray) -> jnp.ndarray:
+    """Engineered temporal discriminators appended to the mel channels.
+
+    The dilated stack CAN synthesize these from raw mel, but handing them
+    over directly is inductive bias the hard negatives need — crowd babble
+    in particular: a dozen overlapped talkers average into a spectrum whose
+    per-window flux dynamics and energy-modulation depth differ measurably
+    from one dominant voice with real pauses (the cocktail-party statistics
+    classic VAD literature keys on). All three are parallel box/prefix ops:
+
+    - per-window total-variation flux of the softmax-normalized spectrum;
+    - its ±0.3 s box mean (sustained motion, not single transients);
+    - local energy-modulation depth: RMS of the mean-channel's deviation
+      from its ±0.15 s box mean, box-averaged over ±0.3 s — syllabic AM
+      depth, which overlapped crowds fill in.
+    """
+    p = jax.nn.softmax(x, axis=1)
+    prev = jnp.concatenate([p[:1], p[:-1]], axis=0)
+    flux = 0.5 * jnp.sum(jnp.abs(p - prev), axis=1)
+    e = jnp.mean(x, axis=1)
+    em = e - _box_mean(e, 15)
+    mod = jnp.sqrt(_box_mean(em * em, 30) + 1e-6)
+    return jnp.stack([flux, _box_mean(flux, 30), mod], axis=1)
+
+
 def _net(params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
     """Normalized feats [T, M] -> probability [T] (shared net body)."""
+    x = jnp.concatenate([x, _aux_channels(x)], axis=1)  # [T, M + N_AUX]
     x = jax.nn.relu(jnp.dot(x, params["w_in"]) + params["b_in"])  # [T, H]
     for i, d in enumerate(DILATIONS):
         y = _dilated_conv(x, params["w_conv%d" % i], d)
@@ -141,14 +200,29 @@ def default_weights_path(rate: Optional[int] = None) -> str:
 
 
 def has_trained_weights(rate: int) -> bool:
-    """Whether rate-specific trained weights ship for this *analysis* rate.
+    """Whether USABLE rate-specific trained weights ship for this *analysis*
+    rate.
 
     Callers that can choose the PCM rate (the native WAV reader) use this to
-    avoid feeding the net a log-mel layout it was never trained on."""
+    avoid feeding the net a log-mel layout it was never trained on. Usable
+    means shape-compatible with the current architecture: a stale file from
+    an older architecture would silently route audio onto a random-init net
+    (the loader's degraded fallback), which is strictly worse than picking a
+    rate whose weights are current. The shape check reads only npz headers.
+    """
     weights_dir = os.path.join(os.path.dirname(__file__), "weights")
-    return os.path.exists(
-        os.path.join(weights_dir, "neural_vad_weights_%d.npz" % rate)
-    )
+    path = os.path.join(weights_dir, "neural_vad_weights_%d.npz" % rate)
+    if not os.path.exists(path):
+        return False
+    try:
+        expected = expected_param_shapes()
+        with np.load(path) as loaded:
+            return all(
+                k in loaded.files and loaded[k].shape == shape
+                for k, shape in expected.items()
+            )
+    except (OSError, ValueError):
+        return False
 
 
 class NeuralVAD:
@@ -189,13 +263,13 @@ class NeuralVAD:
         params = None
         if os.path.exists(path):
             loaded = np.load(path)
-            expected = init_params(jax.random.PRNGKey(0))
+            expected = expected_param_shapes()
             mismatched = sorted(
                 set(expected)
                 - {
                     k
                     for k in loaded.files
-                    if k in expected and loaded[k].shape == expected[k].shape
+                    if k in expected and loaded[k].shape == expected[k]
                 }
             )
             if not mismatched:

@@ -285,6 +285,22 @@ def synth_batch(
                 x += bed * np.sqrt(
                     speech_power / (10 ** (smr_db / 10.0)) / bed_power
                 )
+            interlude = rng.rand() < 0.4
+            if interlude:
+                # interlude beds: voiced non-speech filling the PAUSES
+                # between utterances (movie laughter/babble/music breaks).
+                # A wide receptive field otherwise learns "speech nearby →
+                # speech" and bleeds onto adjacent beds — exactly the
+                # end-to-end failure the *_breaks agreement scenarios probe.
+                bed_mode = int(rng.choice((5, 6, 7)))
+                bed = synth_nonspeech(rng, samples, frame_rate, mode=bed_mode)
+                bed_power = float(np.mean(bed**2) + 1e-12)
+                smr_db = rng.uniform(0.0, 9.0)
+                x += (
+                    bed
+                    * (active < 0.5)
+                    * np.sqrt(speech_power / (10 ** (smr_db / 10.0)) / bed_power)
+                )
             if rng.rand() < 0.75:  # noisy scene: colored noise with a random
                 # spectral slope f^-α (α 0 = white … 1.2 = red-ish), at an
                 # SNR that reaches genuinely hard — half the draws come from
@@ -307,11 +323,15 @@ def synth_batch(
             x += speech
             win_act = active[: n_windows * window].reshape(n_windows, window)
             labels[i] = (win_act.mean(axis=1) > 0.5).astype(np.float32)
+            if interlude:  # speech/bed boundaries are the hard gradient
+                weights[i] = 2.0
         else:
             mode = _negative_mode(rng)
             x += synth_nonspeech(rng, samples, frame_rate, mode=mode)
             if mode in (6, 7):  # babble / laughter: the hard negatives
                 weights[i] = 2.5
+            elif mode == 5:  # note onsets: syllable-rate energy structure
+                weights[i] = 1.5
         pcm[i] = x
     pcm16 = np.clip(pcm * 32767, -32768, 32767).astype(np.int16)
     if return_weights:
