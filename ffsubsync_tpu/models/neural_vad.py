@@ -46,13 +46,19 @@ KERNEL = 5
 # dialogue turn (the babble failure mode is sub-second voice dominance;
 # only surrounding seconds of context disambiguate it)
 DILATIONS = (1, 2, 4, 8, 16, 32, 64)
-CONTEXT = 256  # windows of left context carried across chunks (≥ one-sided RF)
+# one-sided data dependency of the aux channels (_aux_channels): the ±30
+# box means plus the flux channel's previous-row diff
+AUX_RADIUS = 31
+# windows of left context carried across chunks: the conv stack's one-sided
+# receptive field PLUS the aux radius at its farthest input row, so chunked
+# and unchunked inference are exactly equal
+CONTEXT = 288
 
 # The chunk carry here AND the sequence-parallel halo exchange
 # (parallel/vad_shard.py) both move exactly CONTEXT rows of features; if the
 # net's one-sided receptive field ever outgrew that, sharded labels would
 # silently desynchronize from the monolithic program instead of failing.
-assert (KERNEL // 2) * sum(DILATIONS) <= CONTEXT, (
+assert (KERNEL // 2) * sum(DILATIONS) + AUX_RADIUS <= CONTEXT, (
     "neural VAD receptive field exceeds the carried context window"
 )
 
@@ -115,17 +121,47 @@ def _dilated_conv(x: jnp.ndarray, w: jnp.ndarray, dilation: int) -> jnp.ndarray:
     return y
 
 
-def _box_mean(v: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Centered ±k box mean of a [T] series (edge-clamped denominators)."""
-    s = jnp.concatenate([jnp.zeros((1,), v.dtype), jnp.cumsum(v)])
+def _box_mean(
+    v: jnp.ndarray, vm: jnp.ndarray, k: int, nonneg: bool = False
+) -> jnp.ndarray:
+    """Centered ±k box mean of a [T] series over its VALID rows only.
+
+    ``vm`` is a {0,1} float mask of valid rows: invalid rows contribute
+    nothing to the numerator and are not counted in the denominator. On a
+    fully-valid series this is the classic edge-clamped box mean — and
+    because every call site layouts its valid rows as one contiguous run,
+    a box at the run's edge sees exactly the same sum/count no matter how
+    many masked rows (chunk-carry slots, bucket padding) sit around the
+    run. That invariance is what makes the one-launch fused program, the
+    split host path, and the sequence-parallel shards produce bit-equal
+    aux channels (they pad in different places).
+
+    ``nonneg=True`` declares the input elementwise non-negative and clamps
+    the result at zero. This is NOT redundant: the box sum is a difference
+    of float32 prefix sums, and XLA:TPU lowers ``cumsum`` as a *parallel*
+    scan whose rounding is non-monotone — for a movie-length series the
+    prefix magnitude reaches ~1e4, so ``s[hi+1] - s[lo]`` over a near-zero
+    stretch can come out a few 1e-4 NEGATIVE. Feeding that to ``sqrt`` makes
+    a NaN that the dilated convs then smear ±2.5 s into valid windows and
+    one NaN label poisons every alignment score (observed on-device as a
+    bound-pinned +60 s sync; the host/interpret path's sequential cumsum is
+    monotone and never shows it). The count cumsum is safe: {0,1} addends
+    are exact in float32 far beyond movie length.
+    """
+    s = jnp.concatenate([jnp.zeros((1,), v.dtype), jnp.cumsum(v * vm)])
+    c = jnp.concatenate([jnp.zeros((1,), vm.dtype), jnp.cumsum(vm)])
     t = v.shape[0]
     i = jnp.arange(t)
     lo = jnp.maximum(i - k, 0)
     hi = jnp.minimum(i + k, t - 1)
-    return (jnp.take(s, hi + 1) - jnp.take(s, lo)) / (hi - lo + 1)
+    num = jnp.take(s, hi + 1) - jnp.take(s, lo)
+    if nonneg:
+        num = jnp.maximum(num, 0.0)
+    den = jnp.maximum(jnp.take(c, hi + 1) - jnp.take(c, lo), 1.0)
+    return num / den
 
 
-def _aux_channels(x: jnp.ndarray) -> jnp.ndarray:
+def _aux_channels(x: jnp.ndarray, vm: jnp.ndarray) -> jnp.ndarray:
     """Engineered temporal discriminators appended to the mel channels.
 
     The dilated stack CAN synthesize these from raw mel, but handing them
@@ -140,23 +176,52 @@ def _aux_channels(x: jnp.ndarray) -> jnp.ndarray:
     - local energy-modulation depth: RMS of the mean-channel's deviation
       from its ±0.15 s box mean, box-averaged over ±0.3 s — syllabic AM
       depth, which overlapped crowds fill in.
+
+    ``vm`` masks the rows that hold real signal (see :func:`_net`). Every
+    channel is exactly zero at masked rows, flux is additionally gated on
+    the PREVIOUS row being valid (the run's first row diffs against
+    nothing, matching the classic self-prev convention), and box means
+    average over valid rows only — so the channels a valid row sees depend
+    only on the valid run's contents, never on where a caller parked its
+    padding.
     """
     p = jax.nn.softmax(x, axis=1)
     prev = jnp.concatenate([p[:1], p[:-1]], axis=0)
-    flux = 0.5 * jnp.sum(jnp.abs(p - prev), axis=1)
-    e = jnp.mean(x, axis=1)
-    em = e - _box_mean(e, 15)
-    mod = jnp.sqrt(_box_mean(em * em, 30) + 1e-6)
-    return jnp.stack([flux, _box_mean(flux, 30), mod], axis=1)
+    prev_ok = jnp.concatenate([jnp.zeros((1,), vm.dtype), vm[:-1]])
+    flux = 0.5 * jnp.sum(jnp.abs(p - prev), axis=1) * prev_ok * vm
+    e = jnp.mean(x, axis=1) * vm
+    em = (e - _box_mean(e, vm, 15)) * vm
+    mod = jnp.sqrt(_box_mean(em * em, vm, 30, nonneg=True) + 1e-6) * vm
+    return jnp.stack(
+        [flux, _box_mean(flux, vm, 30, nonneg=True) * vm, mod], axis=1
+    )
 
 
-def _net(params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
-    """Normalized feats [T, M] -> probability [T] (shared net body)."""
-    x = jnp.concatenate([x, _aux_channels(x)], axis=1)  # [T, M + N_AUX]
-    x = jax.nn.relu(jnp.dot(x, params["w_in"]) + params["b_in"])  # [T, H]
+def _net(
+    params: Dict[str, jnp.ndarray], x: jnp.ndarray, vm: jnp.ndarray
+) -> jnp.ndarray:
+    """Normalized feats [T, M] + valid mask [T] -> probability [T].
+
+    ``vm`` marks the contiguous run of rows holding real (normalized)
+    features; the caller must already have zeroed ``x`` outside it. The
+    convolutions see plain zeros there (a true signal boundary's SAME
+    padding), and the aux channels are computed mask-aware so chunk
+    carries, bucket padding, and shard halos all reproduce the exact
+    statistics of the unchunked signal.
+    """
+    x = jnp.concatenate([x, _aux_channels(x, vm)], axis=1)  # [T, M + N_AUX]
+    # Masking the ACTIVATIONS (not just the inputs) at invalid rows is what
+    # makes padding placement invisible: biases give an all-zero input row a
+    # nonzero activation (relu(b)), so without this an in-array padding row
+    # would leak different left-context into the convs than the true
+    # out-of-array zeros _dilated_conv supplies at the array edge — the two
+    # layouts (tail bucket padding vs head chunk carry) would disagree near
+    # the signal boundary.
+    vmc = vm[:, None]
+    x = jax.nn.relu(jnp.dot(x, params["w_in"]) + params["b_in"]) * vmc  # [T, H]
     for i, d in enumerate(DILATIONS):
         y = _dilated_conv(x, params["w_conv%d" % i], d)
-        x = jax.nn.relu(y + params["b_conv%d" % i]) + x  # residual
+        x = (jax.nn.relu(y + params["b_conv%d" % i]) + x) * vmc  # residual
     logits = jnp.dot(x, params["w_out"])[:, 0] + params["b_out"][0]
     return jax.nn.sigmoid(logits)
 
@@ -166,7 +231,8 @@ def apply_model(params: Dict[str, jnp.ndarray], feats: jnp.ndarray) -> jnp.ndarr
     # per-chunk feature normalization makes the net level-invariant
     mean = jnp.mean(feats, axis=0, keepdims=True)
     std = jnp.std(feats, axis=0, keepdims=True) + 1e-3
-    return _net(params, (feats - mean) / std)
+    vm = jnp.ones((feats.shape[0],), feats.dtype)
+    return _net(params, (feats - mean) / std, vm)
 
 
 @jax.jit
@@ -185,7 +251,7 @@ def _probs_from_feats(params, feats, n_valid):
     # zero padded rows so the convs see true-boundary zeros (matches the
     # one-launch program in ops/vad._vad_program exactly)
     x = jnp.where(mask, x, 0.0)
-    return _net(params, x)
+    return _net(params, x, mask[:, 0].astype(feats.dtype))
 
 
 def default_weights_path(rate: Optional[int] = None) -> str:

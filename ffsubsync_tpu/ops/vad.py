@@ -695,7 +695,7 @@ def _vad_program(
     var = jnp.sum(((feats - mean) * mask) ** 2, axis=0, keepdims=True) / denom
     x = (feats - mean) / (jnp.sqrt(var) + 1e-3)
     x = jnp.where(mask, x, 0.0)
-    probs = nv._net(nv_params, x)[ctx:]
+    probs = nv._net(nv_params, x, valid_rows.astype(x.dtype))[ctx:]
     silero_labels = 1.0 - (1.0 - probs) * (1.0 - non_speech_label)
 
     labels = _select_labels(mode, webrtc_labels, silero_labels)

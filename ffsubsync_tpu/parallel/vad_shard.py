@@ -195,7 +195,12 @@ def _sharded_program(
     from_left = jnp.where(idx > 0, from_left, 0.0)
     from_right = jnp.where(idx < n_dev - 1, from_right, 0.0)
     x_ext = jnp.concatenate([from_left, x, from_right], axis=0)
-    probs = nv._net(nv_params, x_ext)[ctx : ctx + t_loc]
+    # validity of ext rows in GLOBAL terms: halo rows outside [0, n_valid)
+    # (shard 0's left, the last shard's right, tail padding) are masked so
+    # the net's aux-channel statistics match the monolithic program's
+    g_ext = t0 - ctx + jnp.arange(t_loc + 2 * ctx, dtype=jnp.int32)
+    vm_ext = ((g_ext >= 0) & (g_ext < n_valid)).astype(x_ext.dtype)
+    probs = nv._net(nv_params, x_ext, vm_ext)[ctx : ctx + t_loc]
     silero_labels = 1.0 - (1.0 - probs) * (1.0 - non_speech_label)
 
     return V._select_labels(mode, webrtc_labels, silero_labels)

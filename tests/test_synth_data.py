@@ -36,14 +36,18 @@ def test_synth_batch_shapes_and_weights():
 
 
 def test_negative_clips_upweighted():
-    """Babble/laughter negatives carry extra loss weight; speech clips never do."""
+    """Hard clips carry extra loss weight: babble/laughter negatives (2.5),
+    note-onset music (1.5), and interlude speech/bed boundary clips (2.0).
+    Speech clips never draw the adversarial-negative weights."""
     rng = np.random.RandomState(1)
     pcm, labels, weights = synth_batch(
         rng, 64, 1.0, FRAME_RATE, SAMPLE_RATE, return_weights=True
     )
     speechy = labels.max(axis=1) > 0
-    assert (weights[speechy] == 1.0).all()
-    assert (weights > 1.0).any()  # some adversarial negatives drew
+    # speechy clips: baseline or the interlude boundary weight, nothing else
+    assert set(np.unique(weights[speechy])) <= {1.0, 2.0}
+    assert set(np.unique(weights[~speechy])) <= {1.0, 1.5, 2.5}
+    assert (weights > 1.0).any()  # some hard clips drew
 
 
 def test_negative_mode_distribution():

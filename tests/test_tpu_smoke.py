@@ -67,6 +67,43 @@ def test_compiled_frontend_matches_jnp_on_device(monkeypatch):
 
 
 @requires_tpu
+def test_movie_length_labels_finite_on_device(monkeypatch):
+    """Movie-length neural-VAD labels are finite on the real chip.
+
+    Regression guard for the parallel-cumsum NaN: XLA:TPU lowers
+    ``jnp.cumsum`` as a parallel scan whose float32 rounding is
+    non-monotone, so over ~18k windows a box sum taken as a prefix-sum
+    difference can come out slightly negative on a near-silent stretch —
+    ``sqrt`` of that is NaN, the dilated convs smear it into valid
+    windows, and one NaN label pins the alignment at the offset bound
+    (models/neural_vad._box_mean documents the clamp). Short signals
+    never trip it: the prefix magnitude has to dwarf the addends. CPU
+    cumsum is sequential (monotone), so only this tier can catch it.
+    """
+    from ffsubsync_tpu.models.synth_data import speech_signal_for_spans
+    from ffsubsync_tpu.ops import vad as vad_mod
+
+    frame_rate, sample_rate = 12000, 100
+    # 3 min: dialogue up front, then a long near-silent tail — the
+    # big-prefix + tiny-addend shape the rounding bug needs
+    spans = [(5.0 + 9.0 * k, 9.0 + 9.0 * k) for k in range(6)]
+    wav = speech_signal_for_spans(180.0, spans, frame_rate, speech_level=0.4)
+    pcm = np.clip(wav * 32767, -32768, 32767).astype(np.int16)
+    monkeypatch.delenv("FFS_TPU_PALLAS_INTERPRET", raising=False)
+    monkeypatch.delenv("FFS_TPU_DISABLE_PALLAS", raising=False)
+    labels = np.asarray(
+        vad_mod.make_silero_detector(sample_rate, frame_rate, 0.0)(pcm)
+    )
+    assert np.isfinite(labels).all(), (
+        "%d non-finite labels" % int((~np.isfinite(labels)).sum())
+    )
+    # sanity: it still finds the dialogue (not just a finite constant)
+    mid = labels[int(5.5 * sample_rate) : int(8.5 * sample_rate)]
+    tail = labels[int(100 * sample_rate) : int(170 * sample_rate)]
+    assert mid.mean() > tail.mean() + 0.2
+
+
+@requires_tpu
 def test_compiled_vad_labels_match_jnp_on_device(monkeypatch):
     """End-to-end: the one-launch fused program (compiled kernel) produces
     the same labels as the split jnp path, on the real chip."""
