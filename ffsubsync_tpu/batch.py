@@ -189,9 +189,14 @@ def sync_batch(
 
             fmt = (os.path.splitext(srtin)[-1][1:] or "srt") if srtin else "srt"
             parser = make_subtitle_parser(fmt=fmt, caching=True)
-            maker = lambda r: make_subtitle_speech_source(  # noqa: E731
-                r, fmt=fmt, parser=parser
-            ).fit(srtin)
+            # bind this job's fmt/parser/srtin NOW: makers_per_job outlives
+            # the loop iteration (the gss refinement rounds call it), and a
+            # late-binding closure would build every job's refined sources
+            # from the LAST job's subtitle file
+            def maker(r, fmt=fmt, parser=parser, srtin=srtin):
+                return make_subtitle_speech_source(
+                    r, fmt=fmt, parser=parser
+                ).fit(srtin)
             job_ratios = list(ratios)
             sub_sources = [maker(r) for r in job_ratios]
             ref_nf = getattr(ref_sources[i], "num_frames", None)

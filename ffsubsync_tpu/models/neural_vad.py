@@ -46,13 +46,16 @@ KERNEL = 5
 # dialogue turn (the babble failure mode is sub-second voice dominance;
 # only surrounding seconds of context disambiguate it)
 DILATIONS = (1, 2, 4, 8, 16, 32, 64)
-# one-sided data dependency of the aux channels (_aux_channels): the ±30
-# box means plus the flux channel's previous-row diff
-AUX_RADIUS = 31
+# One-sided data dependency of the aux channels (_aux_channels). The widest
+# chain is the modulation channel: row i's ±30 box averages em rows i±30,
+# and each em row j subtracts a ±15 box of the energy series — so row i
+# reads energies out to i±45. (The flux chain is narrower: ±30 box over a
+# prev-row diff = 31.)
+AUX_RADIUS = 45
 # windows of left context carried across chunks: the conv stack's one-sided
 # receptive field PLUS the aux radius at its farthest input row, so chunked
 # and unchunked inference are exactly equal
-CONTEXT = 288
+CONTEXT = 320
 
 # The chunk carry here AND the sequence-parallel halo exchange
 # (parallel/vad_shard.py) both move exactly CONTEXT rows of features; if the

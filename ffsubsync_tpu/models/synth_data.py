@@ -401,15 +401,23 @@ def _moving_formant_speech(rng, samples: int, frame_rate: int) -> np.ndarray:
     excitation += rng.uniform(0.06, 0.12) * rng.randn(samples).astype(np.float32)
     hop = max(int(0.06 * frame_rate), 2)
     win = np.hanning(2 * hop).astype(np.float32)
-    out = np.zeros(samples + 2 * hop, np.float32)
-    wsum = np.zeros(samples + 2 * hop, np.float32)
+    # Synthesize one extra hop of (discarded) signal on each side so every
+    # RETAINED sample sits where adjacent Hann windows overlap-add to
+    # exactly 1. Without the margin the first/last hop has wsum -> 0, and
+    # dividing it out amplifies the filter's circular-convolution leakage
+    # (not proportional to the window) into a full-scale edge spike that
+    # the final peak normalization then uses to squash the actual speech.
+    total = samples + 2 * hop
+    excitation = np.pad(excitation, (hop, hop), mode="reflect")
+    out = np.zeros(total + 2 * hop, np.float32)
+    wsum = np.zeros(total + 2 * hop, np.float32)
     freqs = np.fft.rfftfreq(2 * hop, 1.0 / frame_rate)
     centers = np.array(
         [rng.uniform(300, 800), rng.uniform(900, 2200), rng.uniform(2300, 3200)]
     )
     lo_c = np.array([250.0, 850.0, 2200.0])
     hi_c = np.array([850.0, 2300.0, 3400.0])
-    for s in range(samples // hop + 1):
+    for s in range(total // hop + 1):
         i0 = s * hop
         seg = excitation[i0 : i0 + 2 * hop]
         if len(seg) < 2 * hop:
@@ -433,7 +441,9 @@ def _moving_formant_speech(rng, samples: int, frame_rate: int) -> np.ndarray:
         wsum[i0 : i0 + 2 * hop] += win
     # dividing out the window-sum envelope keeps utterance edges sharp: the
     # first/last hop would otherwise Hann-fade, shifting every energy
-    # detector's onsets by a consistent few tens of ms
-    out = out[:samples] / np.maximum(wsum[:samples], 1e-3)
+    # detector's onsets by a consistent few tens of ms. The retained span
+    # lies entirely in the full-overlap region (wsum == 1 up to rounding),
+    # so this is exact, never an edge amplification.
+    out = out[hop : hop + samples] / np.maximum(wsum[hop : hop + samples], 0.5)
     peak = float(np.max(np.abs(out))) + 1e-9
     return (out / peak).astype(np.float32)

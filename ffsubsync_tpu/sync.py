@@ -92,12 +92,15 @@ def get_framerate_ratios_to_try(args: argparse.Namespace) -> List[Optional[float
     Each known conversion ratio is tried in both directions (the subtitles may
     be faster OR slower than the media); a trailing ``None`` slot requests the
     continuous gss refinement when ``--gss`` is on. Empty under
-    ``--no-fix-framerate`` (contract: ffsubsync/ffsubsync.py:131-142).
+    ``--no-fix-framerate``. The ORDER is contract surface, not style: the
+    best candidate is chosen by first-maximum, so on an exact score tie the
+    list position decides the scale factor — all forward ratios precede all
+    inverses, as in ffsubsync/ffsubsync.py:131-142.
     """
     if args.no_fix_framerate:
         return []
-    grid: List[Optional[float]] = [
-        r for ratio in FRAMERATE_RATIOS for r in (ratio, 1.0 / ratio)
+    grid: List[Optional[float]] = list(FRAMERATE_RATIOS) + [
+        1.0 / ratio for ratio in FRAMERATE_RATIOS
     ]
     if args.gss:
         grid.append(None)
@@ -314,7 +317,9 @@ def try_sync(
                     "; ".join(low_quality_reasons),
                 )
                 sync_was_successful = False
-                # write the original (unscaled, unshifted) subtitles unchanged
+                # a distrusted alignment must not destroy the input: emit the
+                # parsed document with no shift/scale applied so the output
+                # file is still produced but identical in timing to srtin
                 original_subs = best_source.parsed_doc_
                 out_subs = original_subs.clone_props_for_subs(list(original_subs))
                 if args.output_encoding != "same":

@@ -143,19 +143,24 @@ def test_sync_batch_gss_refines_ratio(tmp_path):
         ref = tmp_path / ("g%d_ref.srt" % i)
         ref.write_text(_srt(SPANS))
         srtin = tmp_path / ("g%d_in.srt" % i)
+        # per-job marker text: the refinement rounds rebuild sources from
+        # each job's OWN srtin, so job 0's output must never carry job 1's
+        # lines (regression: a late-binding maker closure did exactly that)
         srtin.write_text(
             _srt([(a / true_ratio - shift, b / true_ratio - shift)
-                  for a, b in SPANS])
+                  for a, b in SPANS]).replace("line", "job%d line" % i)
         )
         jobs.append((str(ref), str(srtin), str(tmp_path / ("g%d_out.srt" % i))))
     results = sync_batch(jobs, gss=True)
-    for r, shift in zip(results, shifts):
+    for i, (r, shift) in enumerate(zip(results, shifts)):
         assert r["error"] is None, r["error"]
         assert r["framerate_scale_factor"] == pytest.approx(
             true_ratio, abs=2e-3
         )
         out_text = open(r["srtout"]).read()
         assert _ts(SPANS[0][0]).rsplit(",", 1)[0] in out_text
+        assert "job%d line" % i in out_text
+        assert "job%d line" % (1 - i) not in out_text
 
 
 def test_sync_batch_output_encoding_same_preserves_input(tmp_path):
