@@ -41,8 +41,9 @@ precompile:
 eval-vad:  # adversarial per-condition VAD accuracy (refreshes EVAL.md)
 	python scripts/eval_neural_vad.py --update-eval-md
 
-eval-agreement:  # end-to-end per---vad offset MAE over perturbed movies
-	python scripts/eval_vad_agreement.py
+eval-agreement:  # end-to-end per---vad offset MAE over perturbed movies;
+	# --check-bars turns EVAL.md's binding bars into a nonzero exit
+	python scripts/eval_vad_agreement.py --check-bars
 
 clean:
 	$(MAKE) -C native clean

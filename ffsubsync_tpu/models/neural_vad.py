@@ -9,8 +9,8 @@ TPU-first replacement:
   engineered temporal channels (spectral flux, its ±0.3 s box mean, local
   energy-modulation depth — :func:`_aux_channels`; computed inside the net
   from its own input so every call site feeds plain log-mel) →
-  channel-mixing dense → six *dilated* temporal convolutions (kernel 5,
-  dilations 1/2/4/8/16/32, ±1.26 s receptive field — wide enough to see
+  channel-mixing dense → seven *dilated* temporal convolutions (kernel 5,
+  dilations 1/2/4/8/16/32/64, ±2.54 s receptive field — wide enough to see
   phrase structure) → per-window speech probability. Dilated convs rather
   than an RNN keep the whole chunk's time axis parallel on the MXU — no
   sequential ``scan`` in the hot path.

@@ -153,6 +153,14 @@ def main() -> int:
         help="real media: reference:srtin pairs (skips synthetic mode)",
     )
     ap.add_argument("--platform", default=None)
+    ap.add_argument(
+        "--check-bars",
+        action="store_true",
+        help="enforce EVAL.md's binding end-to-end bars on the synthetic "
+        "report (exit 1 on violation): neural backends within 10 ms on "
+        "every scenario; at the 12 kHz tier the webrtc-class kernel within "
+        "10 ms on music_bed and 150 ms everywhere",
+    )
     args = ap.parse_args()
     if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
@@ -169,6 +177,36 @@ def main() -> int:
             scenarios=args.scenarios.split(",") if args.scenarios else None,
         )
     print(json.dumps(report))
+    if args.check_bars and not args.pairs:
+        failures = []
+        for name, row in report["per_scenario"].items():
+            truth = row["truth"]
+            for vad in ("fused", "silero"):
+                if vad not in row:
+                    continue
+                if row[vad] is None:
+                    failures.append("%s %s failed to sync" % (name, vad))
+                elif abs(row[vad] - truth) > 0.010:
+                    failures.append(
+                        "%s %s off by %.3f s (> 10 ms bar)"
+                        % (name, vad, abs(row[vad] - truth))
+                    )
+            if "webrtc" in row and args.frame_rate == 12000:
+                bar = 0.010 if name == "music_bed" else 0.150
+                if row["webrtc"] is None:
+                    failures.append("%s webrtc failed to sync" % name)
+                elif abs(row["webrtc"] - truth) > bar:
+                    failures.append(
+                        "%s webrtc off by %.3f s (> %.0f ms bar)"
+                        % (name, abs(row["webrtc"] - truth), bar * 1000)
+                    )
+        if failures:
+            print(
+                "EVAL BARS VIOLATED:\n  " + "\n  ".join(failures),
+                file=sys.stderr,
+            )
+            return 1
+        print("eval bars OK", file=sys.stderr)
     return 0
 
 
