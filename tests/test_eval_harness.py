@@ -1,0 +1,64 @@
+# -*- coding: utf-8 -*-
+"""The eval-agreement harness's binding-bar check (EVAL.md contract).
+
+``scripts/eval_vad_agreement.py --check-bars`` is the machine-checked form
+of EVAL.md's quality bars; these tests pin the bar logic itself (thresholds,
+tier scoping, None handling) without paying for a full synthetic eval run.
+"""
+import importlib.util
+import os
+
+_SCRIPT = os.path.join(
+    os.path.dirname(__file__), "..", "scripts", "eval_vad_agreement.py"
+)
+
+
+def _load():
+    spec = importlib.util.spec_from_file_location("eval_vad_agreement", _SCRIPT)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _report(rows):
+    return {"mode": "synthetic", "per_scenario": rows}
+
+
+def test_all_within_bars_passes():
+    mod = _load()
+    rows = {
+        "clean": {"truth": 1.95, "fused": 1.95, "silero": 1.951, "webrtc": 1.9},
+        "music_bed": {"truth": -3.05, "fused": -3.05, "silero": -3.05,
+                      "webrtc": -3.045},
+    }
+    assert mod.check_bars(_report(rows), 12000) == []
+
+
+def test_neural_bar_is_10ms_every_scenario():
+    mod = _load()
+    rows = {"noisy": {"truth": 1.80, "fused": 1.82, "silero": 1.80}}
+    failures = mod.check_bars(_report(rows), 12000)
+    assert len(failures) == 1 and "fused" in failures[0]
+    # the neural bar binds at every analysis tier, not just 12 kHz
+    assert mod.check_bars(_report(rows), 8000) == failures
+
+
+def test_webrtc_bars_scoped_to_12khz_tier():
+    mod = _load()
+    rows = {
+        # 100 ms skew: inside the generic 150 ms bar...
+        "laughter_breaks": {"truth": -2.50, "webrtc": -2.40},
+        # ...but music_bed binds at 10 ms
+        "music_bed": {"truth": -3.05, "webrtc": -3.08},
+    }
+    failures = mod.check_bars(_report(rows), 12000)
+    assert len(failures) == 1 and "music_bed" in failures[0]
+    # the webrtc-class kernel is tracked unbound at other tiers (EVAL.md)
+    assert mod.check_bars(_report(rows), 8000) == []
+
+
+def test_failed_sync_counts_as_violation():
+    mod = _load()
+    rows = {"clean": {"truth": 0.0, "fused": None, "webrtc": None}}
+    failures = mod.check_bars(_report(rows), 12000)
+    assert ["failed to sync" in f for f in failures] == [True, True]
