@@ -38,9 +38,13 @@ from ffsubsync_tpu.constants import (
     DEFAULT_FRAME_RATE,
     DEFAULT_MAX_FRAMERATE_DEVIATION,
     DEFAULT_MAX_OFFSET_SECONDS,
+    DEFAULT_MAX_SUBTITLE_SECONDS,
     DEFAULT_MIN_SCORE,
     DEFAULT_NON_SPEECH_LABEL,
+    DEFAULT_PARALLEL_WORKERS,
     DEFAULT_QUALITY_MAX_OFFSET_SECONDS,
+    DEFAULT_SEGMENT_COUNT,
+    DEFAULT_START_SECONDS,
     DEFAULT_VAD,
     FRAMERATE_RATIOS,
     SAMPLE_RATE,
@@ -77,15 +81,17 @@ def _make_ref_source(reference: str, vad: str, frame_rate: int,
         frame_rate=frame_rate,
         non_speech_label=DEFAULT_NON_SPEECH_LABEL,
         reference_encoding=None,
-        max_subtitle_seconds=opts.get("max_subtitle_seconds", 10),
-        start_seconds=opts.get("start_seconds", 0),
+        max_subtitle_seconds=opts.get(
+            "max_subtitle_seconds", DEFAULT_MAX_SUBTITLE_SECONDS
+        ),
+        start_seconds=opts.get("start_seconds", DEFAULT_START_SECONDS),
         strict=False,
         pgs_ref_stream=opts.get("pgs_ref_stream"),
         reference_stream=opts.get("reference_stream"),
         multi_segment_sync=opts.get("multi_segment_sync", False),
-        segment_count=opts.get("segment_count", 8),
+        segment_count=opts.get("segment_count", DEFAULT_SEGMENT_COUNT),
         skip_intro_outro=opts.get("skip_intro_outro", False),
-        parallel_workers=opts.get("parallel_workers", 4),
+        parallel_workers=opts.get("parallel_workers", DEFAULT_PARALLEL_WORKERS),
         max_duration_seconds=opts.get("max_duration_seconds"),
         extract_audio_first=False,
         ffmpeg_path=opts.get("ffmpeg_path"),
@@ -249,18 +255,15 @@ def sync_batch(
             GSS_TOL,
             MAX_FRAMERATE_RATIO,
             MIN_FRAMERATE_RATIO,
-            _GSS_GRID_K,
+            gss_grid,
+            gss_narrow,
         )
 
         brackets = [(MIN_FRAMERATE_RATIO, MAX_FRAMERATE_RATIO)] * len(live)
         while True:
-            steps = [
-                (hi - lo) / (_GSS_GRID_K - 1) for lo, hi in brackets
-            ]
-            round_ratios = [
-                [lo + i * step for i in range(_GSS_GRID_K)]
-                for (lo, _hi), step in zip(brackets, steps)
-            ]
+            grids = [gss_grid(lo, hi) for lo, hi in brackets]
+            steps = [step for step, _ratios in grids]
+            round_ratios = [ratios for _step, ratios in grids]
             round_sources = [
                 [makers_per_job[j](r) for r in ratios]  # maker fits
                 for j, ratios in enumerate(round_ratios)
@@ -280,18 +283,12 @@ def sync_batch(
                     )
                 break
             brackets = [
-                (
-                    max(MIN_FRAMERATE_RATIO, ratios[best_i] - step),
-                    min(MAX_FRAMERATE_RATIO, ratios[best_i] + step),
+                gss_narrow(
+                    round_ratios[j],
+                    steps[j],
+                    int(np.argmax([a.score for a in round_aligns[j]])),
                 )
-                for ratios, step, best_i in (
-                    (
-                        round_ratios[j],
-                        steps[j],
-                        int(np.argmax([a.score for a in round_aligns[j]])),
-                    )
-                    for j in range(len(live))
-                )
+                for j in range(len(live))
             ]
 
     # --- per-job selection + output ----------------------------------------

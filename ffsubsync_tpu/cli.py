@@ -17,7 +17,9 @@ from ffsubsync_tpu.constants import (
     DEFAULT_MAX_SUBTITLE_SECONDS,
     DEFAULT_MIN_SCORE,
     DEFAULT_NON_SPEECH_LABEL,
+    DEFAULT_PARALLEL_WORKERS,
     DEFAULT_QUALITY_MAX_OFFSET_SECONDS,
+    DEFAULT_SEGMENT_COUNT,
     DEFAULT_START_SECONDS,
     DEFAULT_VAD,
 )
@@ -162,7 +164,7 @@ def add_cli_only_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument(
         "--segment-count",
         type=int,
-        default=8,
+        default=DEFAULT_SEGMENT_COUNT,
         help="Number of segments to sample for --multi-segment-sync (default=8).",
     )
     parser.add_argument(
@@ -174,7 +176,7 @@ def add_cli_only_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument(
         "--parallel-workers",
         type=int,
-        default=4,
+        default=DEFAULT_PARALLEL_WORKERS,
         help="How many segments to extract in parallel for --multi-segment-sync "
         "(default=4); useful for overlapping downloads of remote references.",
     )

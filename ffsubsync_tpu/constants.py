@@ -28,6 +28,11 @@ DEFAULT_VAD: str = "subs_then_webrtc"
 DEFAULT_MAX_OFFSET_SECONDS: int = 60
 DEFAULT_APPLY_OFFSET_SECONDS: int = 0
 
+# --multi-segment-sync sampling shape, shared by the CLI and batch manifests
+# so the two entry points cannot drift apart.
+DEFAULT_SEGMENT_COUNT: int = 8
+DEFAULT_PARALLEL_WORKERS: int = 4
+
 # Quality gating (--skip-sync-on-low-quality). The alignment score's sign is
 # meaningful even though its magnitude is not normalized, so min-score 0.0
 # rejects only anti-correlated alignments. The framerate-deviation default

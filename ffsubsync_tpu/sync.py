@@ -147,6 +147,25 @@ GSS_TOL = 1e-4  # same tolerance as the reference (golden_section_search.py:15)
 _GSS_GRID_K = 33  # ratios scored per refinement round (one device launch)
 
 
+def gss_grid(lo: float, hi: float) -> Tuple[float, List[float]]:
+    """One refinement round's ratio grid over bracket [lo, hi].
+
+    Shared by the single-file loop below and batch.sync_batch's per-job
+    refinement so the two entry points use provably identical bracket math.
+    """
+    step = (hi - lo) / (_GSS_GRID_K - 1)
+    return step, [lo + i * step for i in range(_GSS_GRID_K)]
+
+
+def gss_narrow(ratios: List[float], step: float, best_i: int) -> Tuple[float, float]:
+    """Bracket for the next round: one step either side of the argmax,
+    clamped to the reference's [0.9, 1.1] search range."""
+    return (
+        max(MIN_FRAMERATE_RATIO, ratios[best_i] - step),
+        min(MAX_FRAMERATE_RATIO, ratios[best_i] + step),
+    )
+
+
 def _run_gss_search(
     ref_sig: Any,
     source_maker: Callable[[Optional[float]], Any],
@@ -169,8 +188,7 @@ def _run_gss_search(
     """
     lo, hi = MIN_FRAMERATE_RATIO, MAX_FRAMERATE_RATIO
     while True:
-        step = (hi - lo) / (_GSS_GRID_K - 1)
-        ratios = [lo + i * step for i in range(_GSS_GRID_K)]
+        step, ratios = gss_grid(lo, hi)
         sources = [source_maker(r).fit(srtin) for r in ratios]
         alignments = align_candidates(
             ref_sig,
@@ -189,8 +207,7 @@ def _run_gss_search(
         )
         if step <= GSS_TOL:
             return list(zip(alignments, sources))
-        lo = max(MIN_FRAMERATE_RATIO, ratios[best_i] - step)
-        hi = min(MAX_FRAMERATE_RATIO, ratios[best_i] + step)
+        lo, hi = gss_narrow(ratios, step, best_i)
 
 
 def try_sync(

@@ -205,9 +205,20 @@ def main() -> int:
         pairs = [tuple(p.rsplit(":", 1)) for p in args.pairs]
         report = run_real(vads, pairs)
     else:
+        subset = args.scenarios.split(",") if args.scenarios else None
+        if subset:
+            from ffsubsync_tpu.models.eval_data import MOVIE_SCENARIOS
+
+            unknown = [s for s in subset if s not in MOVIE_SCENARIOS]
+            if unknown:
+                # a typo'd subset must not produce an empty report that
+                # --check-bars then waves through as green
+                ap.error(
+                    "unknown scenario(s) %s (known: %s)"
+                    % (",".join(unknown), ",".join(MOVIE_SCENARIOS))
+                )
         report = run_synthetic(
-            vads, args.minutes, args.frame_rate, args.seed,
-            scenarios=args.scenarios.split(",") if args.scenarios else None,
+            vads, args.minutes, args.frame_rate, args.seed, scenarios=subset
         )
     print(json.dumps(report))
     if args.check_bars and not args.pairs:

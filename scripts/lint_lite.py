@@ -9,6 +9,7 @@ excepts (E722), trailing whitespace (W291/W293), and f-strings without
 placeholders (F541) — before pushing. Not a replacement for the CI gate.
 """
 import ast
+import configparser
 import os
 import sys
 
@@ -17,6 +18,23 @@ TARGETS = [
     "ffsubsync_tpu", "tests", "scripts",
     "bench.py", "__graft_entry__.py", "setup.py",
 ]
+
+
+def per_file_ignores(root):
+    """Honor setup.cfg's [flake8] per-file-ignores so this gate agrees
+    with real flake8 on a clean checkout (e.g. the literal .ass fixture
+    lines exempted from E501)."""
+    cfg = configparser.ConfigParser()
+    cfg.read(os.path.join(root, "setup.cfg"))
+    raw = cfg.get("flake8", "per-file-ignores", fallback="")
+    ignores = {}
+    for entry in raw.split("\n"):
+        entry = entry.split("#", 1)[0].strip()
+        if ":" not in entry:
+            continue
+        path, codes = entry.rsplit(":", 1)
+        ignores[path.strip()] = {c.strip() for c in codes.split(",") if c.strip()}
+    return ignores
 
 
 def iter_py(root):
@@ -99,10 +117,15 @@ def check_file(path):
 
 def main():
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    ignores = per_file_ignores(root)
     total = 0
     for path in iter_py(root):
+        rel = os.path.relpath(path, root)
+        skip = ignores.get(rel.replace(os.sep, "/"), set())
         for lineno, msg in check_file(path):
-            print("%s:%d: %s" % (os.path.relpath(path, root), lineno, msg))
+            if msg.split()[0] in skip:
+                continue
+            print("%s:%d: %s" % (rel, lineno, msg))
             total += 1
     print("%d finding(s)" % total, file=sys.stderr)
     return 1 if total else 0
