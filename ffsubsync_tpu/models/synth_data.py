@@ -367,7 +367,15 @@ def speech_signal_for_spans(
             continue
         seg_t = t[i0:i1]
         seg = _moving_formant_speech(rng, i1 - i0, frame_rate)
-        am = 0.55 + 0.45 * np.sin(2 * np.pi * 4.0 * seg_t + rng.uniform(0, 6.28))
+        # Syllable-rate AM, phase-anchored so the envelope PEAKS at the span
+        # start: the truth label says speech begins here, and real utterances
+        # lead with a stressed syllable. A random phase can open the span at
+        # ~10% amplitude, which skews every energy detector's onset by tens
+        # of ms — a fixture artifact, not a detector defect (the same trap as
+        # Hann-faded edges; see the fixture-realism note in _moving_formant_
+        # speech's OLA handling).
+        am_phase = np.pi / 2 - 2 * np.pi * 4.0 * seg_t[0]
+        am = 0.55 + 0.45 * np.sin(2 * np.pi * 4.0 * seg_t + am_phase)
         x[i0:i1] += speech_level * seg * am.astype(np.float32)
     return x
 
