@@ -135,6 +135,13 @@ def run_real(vads, pairs):
     return report
 
 
+# Offsets land on the 100 Hz label grid, so an error of exactly one cell is
+# exactly the 10 ms bar — and ``1.8 - 1.79 > 0.010`` is True in float64 (the
+# difference carries ~1e-16 of representation error). The bars are inclusive
+# ("within 10 ms"), so comparisons get an epsilon far below one cell.
+_BAR_EPS = 1e-9
+
+
 def check_bars(report, frame_rate):
     """EVAL.md's binding bars over a synthetic-mode report → violation list.
 
@@ -151,7 +158,7 @@ def check_bars(report, frame_rate):
                 continue
             if row[vad] is None:
                 failures.append("%s %s failed to sync" % (name, vad))
-            elif abs(row[vad] - truth) > 0.010:
+            elif abs(row[vad] - truth) > 0.010 + _BAR_EPS:
                 failures.append(
                     "%s %s off by %.3f s (> 10 ms bar)"
                     % (name, vad, abs(row[vad] - truth))
@@ -160,7 +167,7 @@ def check_bars(report, frame_rate):
             bar = 0.010 if name == "music_bed" else 0.150
             if row["webrtc"] is None:
                 failures.append("%s webrtc failed to sync" % name)
-            elif abs(row["webrtc"] - truth) > bar:
+            elif abs(row["webrtc"] - truth) > bar + _BAR_EPS:
                 failures.append(
                     "%s webrtc off by %.3f s (> %.0f ms bar)"
                     % (name, abs(row["webrtc"] - truth), bar * 1000)

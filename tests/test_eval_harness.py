@@ -43,6 +43,20 @@ def test_neural_bar_is_10ms_every_scenario():
     assert mod.check_bars(_report(rows), 8000) == failures
 
 
+def test_one_grid_cell_error_is_within_the_10ms_bar():
+    # offsets are 100 Hz grid cells; exactly one cell off IS the 10 ms bar
+    # and must pass despite float64 representation error (1.8 - 1.79 > 0.01)
+    mod = _load()
+    rows = {"noisy": {"truth": 1.80, "fused": 1.80, "silero": 1.79}}
+    assert mod.check_bars(_report(rows), 12000) == []
+    rows = {"noisy": {"truth": 1.80, "silero": 1.78}}  # two cells: out
+    failures = mod.check_bars(_report(rows), 12000)
+    assert len(failures) == 1 and "silero" in failures[0]
+    # same inclusivity on the webrtc music_bed bar
+    rows = {"music_bed": {"truth": -3.05, "webrtc": -3.06}}
+    assert mod.check_bars(_report(rows), 12000) == []
+
+
 def test_webrtc_bars_scoped_to_12khz_tier():
     mod = _load()
     rows = {
