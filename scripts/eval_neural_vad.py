@@ -26,6 +26,12 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 ACCURACY_BAR = 0.90
+# Conditions whose window labels are perceptually ambiguous (negatives that
+# are literally human speech) bind END-TO-END instead: eval_vad_agreement's
+# --check-bars enforces the matching *_breaks scenario at ≤ 10 ms. EVAL.md
+# "Bar (neural backend)" documents the exemption; window accuracy is still
+# reported (and ⚠-flagged) for tracking.
+END_TO_END_BOUND_CONDITIONS = ("crowd_babble",)
 
 
 def log(*a):
@@ -126,8 +132,7 @@ def main() -> int:
     log(table)
     if args.update_eval_md:
         update_eval_md(table, args)
-    neural = [results[c].get("silero") for c in results if "silero" in results[c]]
-    worst = min(neural) if neural else None
+    worst, worst_gated, retval = gate_verdict(results)
     print(
         json.dumps(
             {
@@ -135,11 +140,36 @@ def main() -> int:
                 "value": worst,
                 "unit": "accuracy",
                 "bar": ACCURACY_BAR,
+                "worst_window_gated": worst_gated,
+                "end_to_end_bound": list(END_TO_END_BOUND_CONDITIONS),
                 "per_condition": results,
             }
         )
     )
-    return 0 if (worst is None or worst >= ACCURACY_BAR) else 1
+    return retval
+
+
+def gate_verdict(results):
+    """(worst, worst_gated, exit_code) for a per-condition results dict.
+
+    ``worst`` spans every condition (the reported headline number);
+    ``worst_gated`` excludes the END_TO_END_BOUND_CONDITIONS, and only it
+    drives the exit code — the exempt conditions' binding check lives in
+    ``eval_vad_agreement.py --check-bars`` (EVAL.md "Bar (neural backend)").
+    """
+    neural = [results[c].get("silero") for c in results if "silero" in results[c]]
+    worst = min(neural) if neural else None
+    gated = [
+        results[c]["silero"]
+        for c in results
+        if "silero" in results[c] and c not in END_TO_END_BOUND_CONDITIONS
+    ]
+    worst_gated = min(gated) if gated else None
+    return (
+        worst,
+        worst_gated,
+        0 if (worst_gated is None or worst_gated >= ACCURACY_BAR) else 1,
+    )
 
 
 if __name__ == "__main__":

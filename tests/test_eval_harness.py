@@ -71,6 +71,32 @@ def test_webrtc_bars_scoped_to_12khz_tier():
     assert mod.check_bars(_report(rows), 8000) == []
 
 
+def _load_window():
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "eval_neural_vad.py"
+    )
+    spec = importlib.util.spec_from_file_location("eval_neural_vad", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_window_gate_exempts_end_to_end_bound_conditions():
+    # crowd_babble's window labels are perceptually ambiguous; its binding
+    # check is the babble_breaks agreement scenario, so the window gate must
+    # not fail on it (it IS still the reported worst number)
+    mod = _load_window()
+    results = {
+        "crowd_babble": {"silero": 0.78},
+        "plucked_music": {"silero": 0.95},
+    }
+    worst, worst_gated, code = mod.gate_verdict(results)
+    assert (worst, worst_gated, code) == (0.78, 0.95, 0)
+    # a non-exempt condition under the bar still fails the gate
+    results["plucked_music"]["silero"] = 0.85
+    assert mod.gate_verdict(results)[2] == 1
+
+
 def test_failed_sync_counts_as_violation():
     mod = _load()
     rows = {"clean": {"truth": 0.0, "fused": None, "webrtc": None}}
