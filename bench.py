@@ -16,6 +16,7 @@ BENCH_PLATFORM (jax platform override).
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -26,8 +27,40 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _probe_default_backend(timeout_s: float) -> bool:
+    """True when ``jax.devices()`` answers on the ambient platform.
+
+    The TPU here sits behind a tunneled relay that sometimes goes down for
+    hours; when it does, device discovery BLOCKS indefinitely instead of
+    raising, which would leave the bench (and the driver run that captures
+    its JSON line) hung with nothing recorded. Probe in a subprocess so the
+    hang is bounded; a cold relay's first use can take ~4 minutes, so the
+    default budget stays above that.
+    """
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> int:
     platform = os.environ.get("BENCH_PLATFORM")
+    relay_fallback = False
+    if not platform:
+        probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "300"))
+        if probe_timeout > 0 and not _probe_default_backend(probe_timeout):
+            log(
+                "default backend unreachable after %.0f s — falling back to "
+                "CPU (result labeled platform=cpu-fallback)" % probe_timeout
+            )
+            platform = "cpu"
+            relay_fallback = True
     if platform:
         os.environ["JAX_PLATFORMS"] = platform
         import jax
@@ -179,6 +212,9 @@ def main() -> int:
                     None
                     if e2e_offset_err_ms is None
                     else round(e2e_offset_err_ms, 1)
+                ),
+                "platform": (
+                    "cpu-fallback" if relay_fallback else jax.default_backend()
                 ),
             }
         )
