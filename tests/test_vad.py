@@ -279,3 +279,38 @@ def test_auditok_tokens_invariant_to_pipeline_chunking(monkeypatch):
     ]
     gathered = np.asarray(det2.gather(handles))
     np.testing.assert_array_equal(gathered, whole)
+
+
+def test_weights_reachability_per_frame_rate(monkeypatch):
+    """Which weights file each decode rate actually loads (EVAL.md "Which
+    weights each tier exercises"). The staging pass half-band decimates to
+    the 12 kHz floor, so the DEFAULT path reaches only the 12000/16000/8000
+    files; the 24000 and rate-less fallback files serve the opt-in
+    full-rate mode. This attribution confused two EVAL refreshes — pin it.
+    """
+    import os
+
+    from ffsubsync_tpu.models.neural_vad import default_weights_path
+    from ffsubsync_tpu.ops.features import analysis_rate
+
+    monkeypatch.delenv("FFS_TPU_ANALYSIS_DECIMATE", raising=False)
+    for frame_rate, suffix in (
+        (48000, "_12000"),
+        (24000, "_12000"),
+        (16000, "_16000"),
+        (12000, "_12000"),
+        (8000, "_8000"),
+    ):
+        path = default_weights_path(analysis_rate(frame_rate, 100))
+        assert path.endswith("neural_vad_weights%s.npz" % suffix), (
+            frame_rate,
+            path,
+        )
+    monkeypatch.setenv("FFS_TPU_ANALYSIS_DECIMATE", "0")
+    assert default_weights_path(analysis_rate(24000, 100)).endswith(
+        "neural_vad_weights_24000.npz"
+    )
+    # no rated file ships for 48000: full-rate analysis takes the fallback
+    assert default_weights_path(analysis_rate(48000, 100)).endswith(
+        os.sep + "neural_vad_weights.npz"
+    )
