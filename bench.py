@@ -32,20 +32,32 @@ def _probe_default_backend(timeout_s: float) -> bool:
 
     The TPU here sits behind a tunneled relay that sometimes goes down for
     hours; when it does, device discovery BLOCKS indefinitely instead of
-    raising, which would leave the bench (and the driver run that captures
-    its JSON line) hung with nothing recorded. Probe in a subprocess so the
-    hang is bounded; a cold relay's first use can take ~4 minutes, so the
-    default budget stays above that.
+    raising — an unguarded bench run then hangs with no JSON line recorded.
+    The probe bounds that *down-at-start* case (it cannot guard against the
+    relay stalling mid-run — that residual risk is the pre-probe behavior).
+    A cold relay's first use can take ~4 minutes, so the default budget
+    stays above that; the probe costs one extra jax import + connect on the
+    healthy path (``BENCH_PROBE_TIMEOUT=0`` skips it).
     """
     try:
         proc = subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],
             timeout=timeout_s,
             stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
         )
-        return proc.returncode == 0
+        if proc.returncode != 0:
+            # fast failure is an environment error, not a relay outage —
+            # surface the cause instead of claiming a timeout
+            tail = proc.stderr.decode(errors="replace").strip().splitlines()
+            log(
+                "backend probe exited %d (NOT a timeout): %s"
+                % (proc.returncode, "; ".join(tail[-3:]))
+            )
+            return False
+        return True
     except subprocess.TimeoutExpired:
+        log("backend probe timed out after %.0f s" % timeout_s)
         return False
 
 
@@ -56,8 +68,8 @@ def main() -> int:
         probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "300"))
         if probe_timeout > 0 and not _probe_default_backend(probe_timeout):
             log(
-                "default backend unreachable after %.0f s — falling back to "
-                "CPU (result labeled platform=cpu-fallback)" % probe_timeout
+                "default backend unavailable — falling back to CPU "
+                "(result labeled platform=cpu-fallback)"
             )
             platform = "cpu"
             relay_fallback = True

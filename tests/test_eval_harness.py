@@ -8,13 +8,13 @@ tier scoping, None handling) without paying for a full synthetic eval run.
 import importlib.util
 import os
 
-_SCRIPT = os.path.join(
-    os.path.dirname(__file__), "..", "scripts", "eval_vad_agreement.py"
-)
+_SCRIPTS = os.path.join(os.path.dirname(__file__), "..", "scripts")
 
 
-def _load():
-    spec = importlib.util.spec_from_file_location("eval_vad_agreement", _SCRIPT)
+def _load(script="eval_vad_agreement.py"):
+    path = os.path.join(_SCRIPTS, script)
+    name = os.path.splitext(script)[0]
+    spec = importlib.util.spec_from_file_location(name, path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
@@ -71,21 +71,11 @@ def test_webrtc_bars_scoped_to_12khz_tier():
     assert mod.check_bars(_report(rows), 8000) == []
 
 
-def _load_window():
-    path = os.path.join(
-        os.path.dirname(__file__), "..", "scripts", "eval_neural_vad.py"
-    )
-    spec = importlib.util.spec_from_file_location("eval_neural_vad", path)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
-
-
 def test_window_gate_exempts_end_to_end_bound_conditions():
     # crowd_babble's window labels are perceptually ambiguous; its binding
     # check is the babble_breaks agreement scenario, so the window gate must
     # not fail on it (it IS still the reported worst number)
-    mod = _load_window()
+    mod = _load("eval_neural_vad.py")
     results = {
         "crowd_babble": {"silero": 0.78},
         "plucked_music": {"silero": 0.95},
