@@ -268,7 +268,11 @@ def add_cli_only_args(parser: argparse.ArgumentParser) -> None:
         "(if using video / audio as a reference, default={}). All detectors "
         "run as TPU kernels; names select behaviorally-equivalent backends "
         "(webrtc → spectral GMM-class kernel, silero → neural VAD, auditok → "
-        "energy tokenizer).".format(DEFAULT_VAD),
+        "energy tokenizer). On telephone-band (8 kHz) audio the webrtc-class "
+        "kernel's accuracy bound does not apply (its SNR bands and motion "
+        "statistics coarsen with the top octaves gone — see EVAL.md); "
+        "8 kHz defaults route through the neural backends, which stay "
+        "bound there.".format(DEFAULT_VAD),
     )
     parser.add_argument(
         "--no-fix-framerate",
