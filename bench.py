@@ -145,38 +145,59 @@ def main() -> int:
             )
         )
 
+    import jax as _jax
+
     def run_once():
         # the buffered product path (media/audio.py): async chunk dispatch,
         # labels stay on device (LazySpeechSignal), the batched candidate
-        # search reads them there — only scores/offsets come back
+        # search reads them there — only scores/offsets come back.
+        # Stage attribution (the seams the async pipeline already has):
+        #   stage_s = host staging (native decimate/µ-law/frame) + enqueue
+        #   vad_s   = wire transfer + device VAD drain (block_until_ready)
+        #   align_s = batched candidate search incl. the score/offset pull
         t0 = time.perf_counter()
         detector = make_detector(vad_name, SAMPLE_RATE, frame_rate, 0.0)
         signal = detector.gather([detector.dispatch_async(pcm)])
         t1 = time.perf_counter()
+        _jax.block_until_ready([a for a, _ in signal._parts])
+        t2 = time.perf_counter()
         results = align_candidates(
             signal, candidates, max_offset_samples=60 * SAMPLE_RATE
         )
-        t2 = time.perf_counter()
-        log("  vad dispatch %.3f s | align(+drain) %.3f s" % (t1 - t0, t2 - t1))
-        return signal, results
+        t3 = time.perf_counter()
+        breakdown = {
+            "stage_s": round(t1 - t0, 3),
+            "vad_s": round(t2 - t1, 3),
+            "align_s": round(t3 - t2, 3),
+            "n_launches": len(signal._parts),
+        }
+        log(
+            "  stage %.3f s | vad drain %.3f s | align %.3f s (%d launches)"
+            % (t1 - t0, t2 - t1, t3 - t2, len(signal._parts))
+        )
+        return signal, results, breakdown
 
     # --- warmup / compile ---------------------------------------------------
     log("warmup (compile)...")
     t0 = time.perf_counter()
-    signal, results = run_once()
+    signal, results, _bd = run_once()
     log("warmup took %.2f s" % (time.perf_counter() - t0))
 
     # --- timed runs ----------------------------------------------------------
     # the host<->device link on shared/tunneled TPU frontends has multi-second
     # jitter: report the full best/median/worst distribution, headline on best
-    n_runs = int(os.environ.get("BENCH_RUNS", "3"))
+    n_runs = int(os.environ.get("BENCH_RUNS", "5"))
     run_times = []
+    breakdowns = []
     for i in range(n_runs):
         t0 = time.perf_counter()
-        signal, results = run_once()
+        signal, results, bd = run_once()
         run_s = time.perf_counter() - t0
         log("run %d: %.3f s" % (i, run_s))
         run_times.append(run_s)
+        breakdowns.append(bd)
+    best_i = min(range(n_runs), key=lambda i: run_times[i])
+    best_breakdown = breakdowns[best_i]
     run_times.sort()
     elapsed = run_times[0]
     median_s = run_times[len(run_times) // 2]
@@ -219,6 +240,7 @@ def main() -> int:
                 "median_s": round(median_s, 3),
                 "worst_s": round(worst_s, 3),
                 "offset_err_ms": round(offset_err_ms, 1),
+                "breakdown": best_breakdown,
                 "e2e_cli_s": None if e2e_s is None else round(e2e_s, 3),
                 "e2e_offset_err_ms": (
                     None

@@ -713,15 +713,21 @@ def _vad_program(
 def _pipeline_chunk_samples(frame_rate: int, sample_rate: int) -> int:
     """Input samples per pipelined dispatch of the buffered VAD.
 
-    Default 600 s: long enough that per-dispatch overhead is negligible,
-    short enough that host staging of chunk k+1 and the k+1 wire transfer
-    overlap chunk k's device execution (double buffering). Always a whole
-    number of analysis windows and of decimation strides. Override with
+    Default 2700 s (45 min): launch COUNT, not launch size, is what costs
+    time on a remote-attached TPU frontend — each state-carrying chunk
+    program serializes behind the previous one plus a relay round trip, and
+    measured 90-min totals scale with it (1 launch 0.114 s, 2 launches
+    0.116 s, 4 launches 0.186 s, 9 launches 1.27 s, 18 launches 3.29 s —
+    scripts/diag_chunks.py). 45-min chunks keep a feature-length movie at
+    ≤2 launches while bounding per-chunk device memory (~100 MB of neural
+    activations) and still overlapping staging/wire with compute when the
+    decode streams in faster than the device drains. Always a whole number
+    of analysis windows and of decimation strides. Override with
     ``FFS_TPU_PIPELINE_SECONDS`` (0 disables chunking).
     """
     import os
 
-    seconds = float(os.environ.get("FFS_TPU_PIPELINE_SECONDS", "600"))
+    seconds = float(os.environ.get("FFS_TPU_PIPELINE_SECONDS", "2700"))
     if seconds <= 0:
         return 0
     return int(seconds * sample_rate) * (frame_rate // sample_rate)
