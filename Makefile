@@ -1,5 +1,5 @@
 .PHONY: all native test bench clean black blackcheck lint typecheck \
-	docscheck check
+	docscheck check certify eval-vad eval-agreement
 
 all: native
 
@@ -44,6 +44,13 @@ eval-vad:  # adversarial per-condition VAD accuracy (refreshes EVAL.md)
 eval-agreement:  # end-to-end per---vad offset MAE over perturbed movies;
 	# --check-bars turns EVAL.md's binding bars into a nonzero exit
 	python scripts/eval_vad_agreement.py --check-bars
+
+certify:  # the binding release gate, on the HELD-OUT seed family (see
+	# EVAL.md "Tuning vs certification"): seed 7919 draws were never used
+	# to tune gate constants, select retrains, or set thresholds — only
+	# seed-0-family draws were. Both harnesses must exit 0 here.
+	python scripts/eval_vad_agreement.py --check-bars --seed 7919
+	python scripts/eval_neural_vad.py --seed 7919
 
 clean:
 	$(MAKE) -C native clean

@@ -215,6 +215,174 @@ def _plucked_music(
     return x
 
 
+# Moving-spectrum music: sung vocals, legato strings, orchestral swells.
+# Unlike plucked notes (spectrally frozen between onsets), these keep the
+# spectrum in continuous motion — vibrato sweeps every harmonic, portamento
+# glides between notes, sections cross-fade — which is exactly the property
+# the webrtc-class kernel's duty-cycle gate uses to recognize speech. They
+# are the likeliest real-world failure family (TV drama scoring, musicals)
+# and exist to attack that assumption head-on.
+
+
+def _melody_f0(
+    rng: np.random.RandomState,
+    samples: int,
+    frame_rate: int,
+    base: float,
+    note_lo: float,
+    note_hi: float,
+    glide_s: float,
+    vib_rate: Tuple[float, float],
+    vib_semitones: Tuple[float, float],
+) -> np.ndarray:
+    """Per-sample melodic f0: scale-quantized note walk + portamento glides
+    between notes + sinusoidal vibrato. The returned contour never freezes:
+    vibrato is always on, so every harmonic oscillates continuously."""
+    scale_steps = np.array([0, 2, 4, 5, 7, 9, 11, 12], np.float64)
+    t = np.arange(samples) / frame_rate
+    f0 = np.zeros(samples, np.float64)
+    pos = 0
+    step = float(rng.choice(scale_steps))
+    while pos < samples:
+        note_len = int(rng.uniform(note_lo, note_hi) * frame_rate)
+        note_len = min(note_len, samples - pos)
+        next_step = float(rng.choice(scale_steps)) + rng.choice([-12.0, 0.0, 0.0, 12.0])
+        freq = base * 2.0 ** (step / 12.0)
+        next_freq = base * 2.0 ** (next_step / 12.0)
+        glide = min(int(glide_s * frame_rate), note_len)
+        seg = np.full(note_len, freq)
+        if glide > 0:
+            # portamento into the next note: log-frequency ramp
+            ramp = np.linspace(0.0, 1.0, glide)
+            seg[note_len - glide :] = freq * (next_freq / freq) ** ramp
+        f0[pos : pos + note_len] = seg
+        pos += note_len
+        step = next_step
+    vr = rng.uniform(*vib_rate)
+    depth = 2.0 ** (rng.uniform(*vib_semitones) / 12.0) - 1.0
+    vibrato = 1.0 + depth * np.sin(2 * np.pi * vr * t + rng.uniform(0, 6.28))
+    return (f0 * vibrato).astype(np.float64)
+
+
+def _harmonic_voice(
+    f0: np.ndarray, frame_rate: int, n_harmonics: int, rolloff: float
+) -> np.ndarray:
+    """Additive harmonic tone following a per-sample f0 contour."""
+    phase = 2 * np.pi * np.cumsum(f0) / frame_rate
+    x = np.zeros(len(f0), np.float64)
+    for h in range(1, n_harmonics + 1):
+        x += np.sin(h * phase) / h**rolloff
+    return x.astype(np.float32)
+
+
+def _sung_vocals(
+    rng: np.random.RandomState, samples: int, frame_rate: int
+) -> np.ndarray:
+    """Melodic singing: glottal-pulse-like harmonic source on a sung melody
+    (sustained notes, portamento, always-on vibrato) through vowel formant
+    filters that change per phrase. Spectrally it IS a voice — harmonics
+    through formant resonances — but the phrase-level dynamics are musical:
+    long held notes, smooth legato lines, breaths only between phrases."""
+    x = np.zeros(samples, np.float32)
+    pos = 0
+    while pos < samples:
+        phrase_len = min(int(rng.uniform(2.5, 6.0) * frame_rate), samples - pos)
+        f0 = _melody_f0(
+            rng,
+            phrase_len,
+            frame_rate,
+            base=rng.uniform(180.0, 330.0),
+            note_lo=0.35,
+            note_hi=1.6,
+            glide_s=0.09,
+            vib_rate=(4.5, 6.5),
+            vib_semitones=(0.4, 1.0),
+        )
+        voice = _harmonic_voice(f0, frame_rate, n_harmonics=12, rolloff=1.0)
+        voice = _spectral_shape(voice, frame_rate, _formant_gain(rng))
+        # musical phrasing: slow swell in/out, no syllabic AM
+        env = np.hanning(2 * phrase_len)[phrase_len:] * 0.3 + 0.7
+        fade = min(int(0.12 * frame_rate), phrase_len // 2)
+        env[:fade] *= np.linspace(0.0, 1.0, fade)
+        env[phrase_len - fade :] *= np.linspace(1.0, 0.0, fade)
+        x[pos : pos + phrase_len] = voice * env.astype(np.float32)
+        pos += phrase_len + int(rng.uniform(0.15, 0.5) * frame_rate)
+    peak = np.max(np.abs(x)) + 1e-9
+    return (x / peak * 0.5).astype(np.float32)
+
+
+def _legato_strings(
+    rng: np.random.RandomState, samples: int, frame_rate: int
+) -> np.ndarray:
+    """Bowed string section: 3 sustained harmonic-rich voices with always-on
+    vibrato, long legato notes joined by portamento, and slow bow-pressure
+    swells. No onsets, no decays — the spectrum moves continuously and the
+    energy envelope barely does."""
+    x = np.zeros(samples, np.float64)
+    for base in (rng.uniform(130, 180), rng.uniform(260, 340), rng.uniform(390, 520)):
+        f0 = _melody_f0(
+            rng,
+            samples,
+            frame_rate,
+            base=base,
+            note_lo=0.8,
+            note_hi=2.6,
+            glide_s=0.18,
+            vib_rate=(4.8, 6.2),
+            vib_semitones=(0.25, 0.6),
+        )
+        voice = _harmonic_voice(f0, frame_rate, n_harmonics=14, rolloff=0.8)
+        # slow independent swells per voice (bow pressure)
+        t = np.arange(samples) / frame_rate
+        swell = 0.75 + 0.25 * np.sin(
+            2 * np.pi * rng.uniform(0.08, 0.25) * t + rng.uniform(0, 6.28)
+        )
+        x += voice * swell
+    # string body: broad low-mid resonance, gentle high rolloff
+    shaped = _spectral_shape(
+        x.astype(np.float32),
+        frame_rate,
+        lambda f: (0.3 + np.exp(-0.5 * ((f - 400.0) / 500.0) ** 2))
+        / (1.0 + (f / 4000.0) ** 2),
+    )
+    peak = np.max(np.abs(shaped)) + 1e-9
+    return (shaped / peak * 0.5).astype(np.float32)
+
+
+def _orchestral_bed(
+    rng: np.random.RandomState, samples: int, frame_rate: int
+) -> np.ndarray:
+    """Orchestral scoring bed: legato string section + a glissando line
+    sweeping whole octaves + sparse low percussion hits + section-level
+    crescendo/decrescendo. Every ingredient keeps the spectrum moving."""
+    x = _legato_strings(rng, samples, frame_rate).astype(np.float64)
+    t = np.arange(samples) / frame_rate
+    # glissando line: continuous log-frequency sweep, direction flips
+    n_sweeps = max(1, int(len(t) / frame_rate / rng.uniform(1.5, 3.0)))
+    edges = np.sort(rng.uniform(0, samples, n_sweeps - 1).astype(int)) if n_sweeps > 1 else np.array([], int)
+    targets = rng.uniform(np.log(300.0), np.log(1400.0), n_sweeps + 1)
+    knots = np.concatenate([[0], edges, [samples - 1]]).astype(np.float64)
+    gliss_f0 = np.exp(np.interp(np.arange(samples, dtype=np.float64), knots, targets))
+    gliss = _harmonic_voice(gliss_f0, frame_rate, n_harmonics=6, rolloff=1.2)
+    x += 0.4 * gliss
+    # timpani-like low hits: 60-90 Hz damped tones, a few per clip
+    for _ in range(max(1, int(len(t) / frame_rate / 2.5))):
+        pos = rng.randint(0, max(1, samples - frame_rate // 2))
+        hit_len = min(int(0.4 * frame_rate), samples - pos)
+        tt = np.arange(hit_len) / frame_rate
+        f = rng.uniform(60.0, 90.0)
+        x[pos : pos + hit_len] += (
+            0.8 * np.sin(2 * np.pi * f * tt) * np.exp(-tt / 0.12)
+        )
+    # section dynamics: slow crescendos
+    dyn = 0.6 + 0.4 * np.sin(
+        2 * np.pi * rng.uniform(0.05, 0.15) * t + rng.uniform(0, 6.28)
+    )
+    x *= dyn
+    peak = np.max(np.abs(x)) + 1e-9
+    return (x / peak * 0.5).astype(np.float32)
+
+
 # --------------------------------------------------------------------------
 # conditions
 # --------------------------------------------------------------------------
@@ -269,6 +437,10 @@ CONDITIONS: Dict[str, Callable[..., Clip]] = {
     "crowd_babble": _negative_condition(_crowd_babble),
     "crowd_laughter": _negative_condition(_crowd_laughter),
     "plucked_music": _negative_condition(_plucked_music),
+    # moving-spectrum music: attacks any "speech = spectral motion" premise
+    "sung_vocals": _negative_condition(_sung_vocals),
+    "legato_strings": _negative_condition(_legato_strings),
+    "orchestral": _negative_condition(_orchestral_bed),
 }
 
 
@@ -292,7 +464,16 @@ MOVIE_SCENARIOS = (
     "applause_breaks",
     "laughter_breaks",
     "babble_breaks",
+    # moving-spectrum music families (vibrato/portamento/glissando keep the
+    # spectrum in continuous motion, unlike music_bed's frozen plucked notes)
+    "vocals_bed",
+    "strings_bed",
+    "orchestra_bed",
 )
+
+# every scenario whose bed is music; the webrtc-class kernel's music bar
+# (eval_vad_agreement.check_bars) binds across ALL of these
+MUSIC_SCENARIOS = ("music_bed", "vocals_bed", "strings_bed", "orchestra_bed")
 
 
 def perturbed_movie(
@@ -337,6 +518,13 @@ def perturbed_movie(
         x = x + _scaled_to_snr(x, _pink_noise(rng, samples, frame_rate), 4.0)
     elif scenario == "music_bed":
         x = x + _scaled_to_snr(x, _plucked_music(rng, samples, frame_rate), 6.0)
+    elif scenario in ("vocals_bed", "strings_bed", "orchestra_bed"):
+        bed_fn = {
+            "vocals_bed": _sung_vocals,
+            "strings_bed": _legato_strings,
+            "orchestra_bed": _orchestral_bed,
+        }[scenario]
+        x = x + _scaled_to_snr(x, bed_fn(rng, samples, frame_rate), 6.0)
     elif scenario in ("applause_breaks", "laughter_breaks", "babble_breaks"):
         # drop hard negatives into the longer dialogue gaps: a VAD that
         # fires on them corrupts the speech timeline and skews the offset.

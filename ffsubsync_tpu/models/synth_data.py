@@ -138,17 +138,21 @@ def _reverb(rng, x: np.ndarray, frame_rate: int) -> np.ndarray:
 def _negative_mode(rng) -> int:
     """Weighted non-speech class draw. Babble and laughter dominate: they
     share the most cues with dialogue (voiced, formant-shaped, modulated)
-    and are where a VAD that over-recalls noisy speech fails hardest."""
+    and are where a VAD that over-recalls noisy speech fails hardest.
+    Moving-spectrum music gets its own slot: its continuously-gliding
+    harmonics defeat any 'spectral motion = speech' shortcut."""
     u = rng.rand()
-    if u < 0.30:
+    if u < 0.27:
         return 6  # crowd babble
-    if u < 0.50:
+    if u < 0.45:
         return 7  # laughter-class burst trains
-    if u < 0.625:
+    if u < 0.56:
         return 4  # transient trains
-    if u < 0.75:
+    if u < 0.67:
         return 5  # note onsets
-    return rng.randint(4)  # benign beds: silence/tones/chords/sustained
+    if u < 0.82:
+        return 3  # moving-spectrum sustained music
+    return rng.randint(3)  # benign beds: silence/tones/chords
 
 
 def synth_nonspeech(rng, samples: int, frame_rate: int, mode=None) -> np.ndarray:
@@ -173,17 +177,59 @@ def synth_nonspeech(rng, samples: int, frame_rate: int, mode=None) -> np.ndarray
                     10 ** rng.uniform(-1.8, -0.8) / h
                     * np.sin(2 * np.pi * base * h * t[:seg])
                 ).astype(np.float32)
-    elif mode == 3:  # vocal-like sustained notes: vibrato + slow swells, NO syllabic AM
-        f0 = rng.uniform(150, 500)
-        vib = 1.0 + 0.01 * np.sin(2 * np.pi * rng.uniform(4, 7) * t)
-        swell = 0.6 + 0.4 * np.sin(
-            2 * np.pi * rng.uniform(0.1, 0.7) * t + rng.uniform(0, 6.28)
-        )
-        for h in range(1, 6):
-            x += (10 ** rng.uniform(-1.5, -0.7) / h) * np.sin(
-                2 * np.pi * f0 * h * t * vib + rng.uniform(0, 6.28)
-            ).astype(np.float32)
-        x *= swell.astype(np.float32)
+    elif mode == 3:  # moving-spectrum music: sustained voices whose spectra
+        # NEVER freeze — vibrato sweeps every harmonic, the pitch contour is
+        # a smoothed random walk (portamento-like glides, no note grid), and
+        # sections swell slowly. Spectral motion without syllabic AM: the
+        # boundary that separates dialogue from sung vocals / legato strings
+        # / orchestral scoring. (Synthesis family deliberately differs from
+        # models/eval_data.py's scale-quantized melodic generators.)
+        n_voices = rng.randint(1, 4)
+        for _ in range(n_voices):
+            logf0 = np.log(rng.uniform(110, 520))
+            steps = rng.randn(samples) * rng.uniform(0.5, 2.0) / np.sqrt(
+                frame_rate
+            )
+            walk = np.cumsum(steps)
+            # smooth the walk to glide-rate motion (centered ~0.3 s box
+            # filter via cumsum — O(n), a convolve here is O(n·k))
+            kw = max(int(0.15 * frame_rate), 1)
+            cs = np.concatenate([[0.0], np.cumsum(walk)])
+            idx = np.arange(samples)
+            lo = np.maximum(idx - kw, 0)
+            hi = np.minimum(idx + kw, samples - 1)
+            walk = (cs[hi + 1] - cs[lo]) / (hi - lo + 1)
+            walk = np.clip(walk, -0.7, 0.7)  # stay within ~1 octave
+            vib_depth = rng.uniform(0.01, 0.06)  # ±0.17-1.0 semitone
+            vib = vib_depth * np.sin(
+                2 * np.pi * rng.uniform(4.0, 7.0) * t + rng.uniform(0, 6.28)
+            )
+            f0 = np.exp(logf0 + walk + vib)
+            phase = 2 * np.pi * np.cumsum(f0) / frame_rate
+            voice = np.zeros(samples, np.float32)
+            rolloff = rng.uniform(0.7, 1.4)
+            for h in range(1, rng.randint(5, 13)):
+                voice += (
+                    rng.uniform(0.5, 1.5) / h**rolloff
+                ) * np.sin(h * phase + rng.uniform(0, 6.28)).astype(np.float32)
+            swell = (1.0 - rng.uniform(0.15, 0.4)) + rng.uniform(
+                0.15, 0.4
+            ) * np.sin(
+                2 * np.pi * rng.uniform(0.05, 0.4) * t + rng.uniform(0, 6.28)
+            )
+            x += (10 ** rng.uniform(-1.5, -0.7)) * voice * swell.astype(
+                np.float32
+            )
+        if rng.rand() < 0.4:  # sparse low damped hits (timpani-class)
+            for _ in range(max(1, int(samples / frame_rate / 3.0))):
+                pos = rng.randint(0, max(1, samples - frame_rate // 3))
+                hl = min(int(0.35 * frame_rate), samples - pos)
+                tt = np.arange(hl) / frame_rate
+                x[pos : pos + hl] += (
+                    (10 ** rng.uniform(-1.2, -0.6))
+                    * np.sin(2 * np.pi * rng.uniform(55, 95) * tt)
+                    * np.exp(-tt / 0.1)
+                ).astype(np.float32)
     elif mode == 4:  # transient trains: claps/foley impacts, broadband decays
         level = 10 ** rng.uniform(-1.2, -0.3)
         density = rng.uniform(8, 35)  # impacts per second
@@ -271,14 +317,17 @@ def synth_batch(
                 # foreground speech — "coherent voice over babble = speech",
                 # "babble alone = not"), and onset-heavy music under speech
                 u = rng.rand()
-                if u < 0.4:
+                if u < 0.35:
                     bed_mode = 6  # crowd babble bed
                     smr_db = rng.uniform(3.0, 12.0)
-                elif u < 0.65:
+                elif u < 0.55:
                     bed_mode = 5  # note-onset music bed
                     smr_db = rng.uniform(0.0, 12.0)
+                elif u < 0.75:
+                    bed_mode = 3  # moving-spectrum music bed (scoring)
+                    smr_db = rng.uniform(0.0, 12.0)
                 else:
-                    bed_mode = rng.randint(4)  # benign tones/chords/sustained
+                    bed_mode = rng.randint(3)  # benign tones/chords
                     smr_db = rng.uniform(0.0, 14.0)
                 bed = synth_nonspeech(rng, samples, frame_rate, mode=bed_mode)
                 bed_power = float(np.mean(bed**2) + 1e-12)
@@ -292,7 +341,7 @@ def synth_batch(
                 # A wide receptive field otherwise learns "speech nearby →
                 # speech" and bleeds onto adjacent beds — exactly the
                 # end-to-end failure the *_breaks agreement scenarios probe.
-                bed_mode = int(rng.choice((5, 6, 7)))
+                bed_mode = int(rng.choice((3, 5, 6, 7)))
                 bed = synth_nonspeech(rng, samples, frame_rate, mode=bed_mode)
                 bed_power = float(np.mean(bed**2) + 1e-12)
                 smr_db = rng.uniform(0.0, 9.0)
@@ -330,6 +379,8 @@ def synth_batch(
             x += synth_nonspeech(rng, samples, frame_rate, mode=mode)
             if mode in (6, 7):  # babble / laughter: the hard negatives
                 weights[i] = 2.5
+            elif mode == 3:  # moving-spectrum music: voiced, gliding, no AM
+                weights[i] = 2.0
             elif mode == 5:  # note onsets: syllable-rate energy structure
                 weights[i] = 1.5
         pcm[i] = x

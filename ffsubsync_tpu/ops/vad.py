@@ -84,6 +84,31 @@ _FLUX_MOVE_THRESHOLD = 0.08  # corrected flux above this = a "moving" window
 _FLUX_BOX_K = 60  # box half-width (windows): duty cycle over ±0.6 s
 _FLUX_FRAC_THRESHOLD = 0.45  # moving fraction (of active) required to vote
 
+# Sustained-music veto. The duty-cycle gate's premise — music is spectrally
+# frozen inside each note — is FALSE for sung vocals, legato strings, and
+# orchestral beds: vibrato sweeps every harmonic continuously, portamento
+# glides between notes, sections swell — measured duty cycles of 0.58-0.90
+# on such beds, square in the speech range. What still separates them is
+# ENERGY modulation at the syllabic rate: syllable stress cycles and
+# inter-word gaps modulate speech energy by several dB at 1-7 Hz, while a
+# sustained bed's energy moves at bow/phrase rate (≲0.25 Hz) and vibrato is
+# frequency- not amplitude-modulation (the classic Scheirer-Slaney 4 Hz
+# modulation-energy feature, recast in this kernel's box machinery). The
+# measure: band-pass the dB energy track by differencing two centered box
+# means (±50 ms passes syllabic AM; ±250 ms tracks level and slow swells),
+# then average |bandpassed| over the same ±0.6 s box as the duty cycle.
+# Energy is clamped at the noise floor first so inter-utterance silence
+# reads as floor-level, not -120 dB (which would score utterance EDGES
+# instead of syllabic interiors). Measured on the tuning family (seed-0
+# eval generators, 12 kHz): speech interiors run 2-10 dB (noisy 4 dB-SNR
+# speech ~0.85-0.97), sustained beds 0.1-0.5 dB with orchestral/legato
+# vanishing entirely at 0.75 — plucked music's note decays DO modulate
+# (3-8 dB) but the motion gate already rejects those.
+_SYL_SHORT_K = 5  # box half-width (windows): ±50 ms mean passes syllabic AM
+_SYL_LONG_K = 25  # ±250 ms mean tracks level + slow swells
+_SYL_MOD_THRESHOLD = 0.75  # dB of syllabic-band |AM| required to vote
+_SYL_LOOKBACK = _FLUX_BOX_K + _SYL_LONG_K  # ldb history for exact left edges
+
 
 def _pcm_bytes_to_i16(chunk: bytes) -> np.ndarray:
     if isinstance(chunk, np.ndarray):
@@ -189,7 +214,7 @@ def _spectral_flux(logmel, prev_p_in):
 
 @jax.jit
 def _webrtc_from_bands(bands, logmel, n_valid, ema_in, noise_in, prev_p_in,
-                       prev_m_in, prev_m_len):
+                       prev_m_in, prev_m_len, prev_ldb_in, prev_ldb_len):
     """Band energies -> EMA smoothing -> adaptive min-statistics noise floor ->
     weighted SNR vote, gated by spectral-motion duty cycle, with hangover --
     all in *parallel* (log-depth) form.
@@ -210,6 +235,11 @@ def _webrtc_from_bands(bands, logmel, n_valid, ema_in, noise_in, prev_p_in,
       across streamed chunks (the last K indicator pairs are carried
       state); the right edge truncates at the chunk boundary (negligible
       for the ≥600 s pipeline chunks);
+    - the sustained-music veto (constants block above) band-passes the dB
+      energy track with two more box means and requires the boxed
+      syllabic-band |AM| to clear ``_SYL_MOD_THRESHOLD`` — three more
+      prefix sums over a carried ±``_SYL_LOOKBACK`` dB history, with the
+      same exact-left / truncated-right chunk-edge policy;
     - the hangover ("speech for H windows after any raw vote") is
       ``t - last_raw_index[t] < H`` via a running maximum.
 
@@ -219,7 +249,8 @@ def _webrtc_from_bands(bands, logmel, n_valid, ema_in, noise_in, prev_p_in,
     use sees exactly the unpadded recurrence. ``+inf`` in the carried-in
     state means "uninitialized" (first chunk): the first window's energies
     seed the EMA and the floor. Returns (speech_bool [T], ema_state [B],
-    noise_floor [B], prev_p [M], prev_m [K, 2], prev_m_len).
+    noise_floor [B], prev_p [M], prev_m [K, 2], prev_m_len, prev_ldb [L],
+    prev_ldb_len).
     """
     t_pad = bands.shape[0]
     t_idx = jnp.arange(t_pad, dtype=jnp.int32)
@@ -268,13 +299,65 @@ def _webrtc_from_bands(bands, logmel, n_valid, ema_in, noise_in, prev_p_in,
     sums = jnp.take(s_pad, hi + 1, axis=0) - jnp.take(s_pad, lo, axis=0)
     frac = sums[:, 0] / jnp.maximum(sums[:, 1], 1.0)
 
-    raw = active & moving & (frac > _FLUX_FRAC_THRESHOLD)
+    # sustained-music veto: syllabic-band energy modulation (constants block)
+    big_l = _SYL_LOOKBACK
+    v1 = valid[:, 0]
+    ldb = (10.0 / np.log(10.0)) * jnp.log(
+        jnp.maximum(jnp.sum(e, axis=1), jnp.sum(jnp.exp(ln_noise), axis=1))
+    )
+    prev_valid = jnp.arange(big_l, dtype=jnp.int32) >= big_l - prev_ldb_len
+    ldb_ext = jnp.concatenate(
+        [jnp.where(prev_valid, prev_ldb_in, 0.0), jnp.where(v1, ldb, 0.0)]
+    )
+    valid_ext = jnp.concatenate([prev_valid, v1]).astype(jnp.float32)
+    ps_ldb = jnp.concatenate(
+        [
+            jnp.zeros((1, 2), jnp.float32),
+            _blocked_scan(
+                jnp.add,
+                jnp.stack([ldb_ext, valid_ext], axis=1),
+                jnp.float32(0.0),
+            ),
+        ],
+        axis=0,
+    )
+
+    def _boxmean(prefix, pos, k0):
+        b_lo = jnp.maximum(pos - k0, 0)
+        b_hi = jnp.minimum(pos + k0, prefix.shape[0] - 2)
+        s = jnp.take(prefix, b_hi + 1, axis=0) - jnp.take(prefix, b_lo, axis=0)
+        return s[:, 0] / jnp.maximum(s[:, 1], 1.0)
+
+    ext_idx = jnp.arange(big_l + t_pad, dtype=jnp.int32)
+    bp = _boxmean(ps_ldb, ext_idx, _SYL_SHORT_K) - _boxmean(
+        ps_ldb, ext_idx, _SYL_LONG_K
+    )
+    ps_bp = jnp.concatenate(
+        [
+            jnp.zeros((1, 2), jnp.float32),
+            _blocked_scan(
+                jnp.add,
+                jnp.stack([jnp.abs(bp) * valid_ext, valid_ext], axis=1),
+                jnp.float32(0.0),
+            ),
+        ],
+        axis=0,
+    )
+    sylmod = _boxmean(ps_bp, t_idx + big_l, _FLUX_BOX_K)
+
+    raw = (
+        active
+        & moving
+        & (frac > _FLUX_FRAC_THRESHOLD)
+        & (sylmod > _SYL_MOD_THRESHOLD)
+    )
     last = _blocked_scan(
         jnp.maximum, jnp.where(raw, t_idx, -(1 << 30)), jnp.int32(-(1 << 30))
     )
     speech = t_idx - last < _HANGOVER_WINDOWS
     out_t = jnp.maximum(n_valid - 1, 0)
     prev_m_out = jax.lax.dynamic_slice(ind_ext, (n_valid, 0), (k, 2))
+    prev_ldb_out = jax.lax.dynamic_slice(ldb_ext, (n_valid,), (big_l,))
     return (
         speech,
         ema_seq[out_t],
@@ -282,6 +365,8 @@ def _webrtc_from_bands(bands, logmel, n_valid, ema_in, noise_in, prev_p_in,
         p[out_t],
         prev_m_out,
         jnp.minimum(prev_m_len + n_valid, k),
+        prev_ldb_out,
+        jnp.minimum(prev_ldb_len + n_valid, big_l),
     )
 
 
@@ -460,6 +545,8 @@ def make_webrtc_detector(
         "prev_p": jnp.full((N_MELS,), jnp.inf, jnp.float32),
         "prev_m": jnp.zeros((_FLUX_BOX_K, 2), jnp.float32),
         "prev_m_len": jnp.int32(0),
+        "prev_ldb": jnp.zeros((_SYL_LOOKBACK,), jnp.float32),
+        "prev_ldb_len": jnp.int32(0),
     }
 
     def _from_frontend(logmel, bands, n_windows: int) -> np.ndarray:
@@ -470,9 +557,12 @@ def make_webrtc_detector(
             state["prev_p"],
             state["prev_m"],
             state["prev_m_len"],
+            state["prev_ldb"],
+            state["prev_ldb_len"],
         ) = _webrtc_from_bands(
             bands, logmel, jnp.int32(n_windows), state["ema"], state["noise"],
             state["prev_p"], state["prev_m"], state["prev_m_len"],
+            state["prev_ldb"], state["prev_ldb_len"],
         )
         return np.where(
             np.asarray(speech[:n_windows]), 1.0, non_speech_label
@@ -652,7 +742,8 @@ def make_silero_detector(
 @partial(jax.jit, static_argnames=("window", "wpad", "mode", "interpret"))
 def _vad_program(
     framed, dft_mel, dft_plain, mel_fb, band_sel, carry_feats, carry_len,
-    n_valid, ema_in, noise_in, prev_p_in, prev_m_in, prev_m_len, nv_params,
+    n_valid, ema_in, noise_in, prev_p_in, prev_m_in, prev_m_len,
+    prev_ldb_in, prev_ldb_len, nv_params,
     non_speech_label, window, wpad, mode, interpret,
 ):
     """A whole VAD chunk as ONE device program.
@@ -677,11 +768,18 @@ def _vad_program(
     )
     logmel = out[:, plf.MEL_OFF : plf.MEL_OFF + plf.N_MELS]
     bands = out[:, plf.BAND_OFF : plf.BAND_OFF + plf.N_BANDS]
-    speech, ema_out, noise_out, prev_p_out, prev_m_out, prev_m_len_out = (
-        _webrtc_from_bands(
-            bands, logmel, n_valid, ema_in, noise_in, prev_p_in, prev_m_in,
-            prev_m_len,
-        )
+    (
+        speech,
+        ema_out,
+        noise_out,
+        prev_p_out,
+        prev_m_out,
+        prev_m_len_out,
+        prev_ldb_out,
+        prev_ldb_len_out,
+    ) = _webrtc_from_bands(
+        bands, logmel, n_valid, ema_in, noise_in, prev_p_in, prev_m_in,
+        prev_m_len, prev_ldb_in, prev_ldb_len,
     )
     webrtc_labels = jnp.where(speech, 1.0, non_speech_label)
 
@@ -706,7 +804,7 @@ def _vad_program(
     carry_len_out = jnp.minimum(carry_len + n_valid, ctx)
     return (
         labels, ema_out, noise_out, prev_p_out, prev_m_out, prev_m_len_out,
-        carry_out, carry_len_out,
+        prev_ldb_out, prev_ldb_len_out, carry_out, carry_len_out,
     )
 
 
@@ -757,6 +855,8 @@ def _make_onelaunch_detector(
         "prev_p": jnp.full((N_MELS,), jnp.inf, jnp.float32),
         "prev_m": jnp.zeros((_FLUX_BOX_K, 2), jnp.float32),
         "prev_m_len": jnp.int32(0),
+        "prev_ldb": jnp.zeros((_SYL_LOOKBACK,), jnp.float32),
+        "prev_ldb_len": jnp.int32(0),
         "carry": jnp.zeros((CONTEXT, N_MELS), jnp.float32),
         "carry_len": jnp.int32(0),
         "params": None,
@@ -794,6 +894,8 @@ def _make_onelaunch_detector(
             state["prev_p"],
             state["prev_m"],
             state["prev_m_len"],
+            state["prev_ldb"],
+            state["prev_ldb_len"],
             state["carry"],
             state["carry_len"],
         ) = _vad_program(
@@ -810,6 +912,8 @@ def _make_onelaunch_detector(
             state["prev_p"],
             state["prev_m"],
             state["prev_m_len"],
+            state["prev_ldb"],
+            state["prev_ldb_len"],
             state["params"],
             jnp.float32(non_speech_label),
             mats.window,

@@ -158,7 +158,66 @@ def _sharded_program(
     sums = jnp.take(s_pad, hi_c + 1, axis=0) - jnp.take(s_pad, lo, axis=0)
     frac = sums[:, 0] / jnp.maximum(sums[:, 1], 1.0)
 
-    raw = active & moving & (frac > V._FLUX_FRAC_THRESHOLD)
+    # sustained-music veto (ops/vad constants block): the dB energy track
+    # crosses shard boundaries as ±_SYL_LOOKBACK-row ppermute halos, after
+    # which the band-pass box means and the boxed |AM| are shard-local
+    # prefix-sum work — every bp value a local window's ±_FLUX_BOX_K box
+    # consumes has its full ±_SYL_LONG_K context inside the ext array
+    big_l = V._SYL_LOOKBACK
+    ldb = (10.0 / np.log(10.0)) * jnp.log(
+        jnp.maximum(jnp.sum(e, axis=1), jnp.sum(jnp.exp(ln_noise), axis=1))
+    )
+    ldb = jnp.where(valid[:, 0], ldb, 0.0)
+    l_left = jax.lax.ppermute(
+        ldb[-big_l:], axis_name, [(i, i + 1) for i in range(n_dev - 1)]
+    )
+    l_right = jax.lax.ppermute(
+        ldb[:big_l], axis_name, [(i + 1, i) for i in range(n_dev - 1)]
+    )
+    l_left = jnp.where(idx > 0, l_left, 0.0)
+    l_right = jnp.where(idx < n_dev - 1, l_right, 0.0)
+    ldb_ext = jnp.concatenate([l_left, ldb, l_right])  # [T_loc + 2L]
+    g_ldb = t0 - big_l + jnp.arange(t_loc + 2 * big_l, dtype=jnp.int32)
+    vm = ((g_ldb >= 0) & (g_ldb < n_valid)).astype(jnp.float32)
+    ps_ldb = jnp.concatenate(
+        [
+            jnp.zeros((1, 2), jnp.float32),
+            V._blocked_scan(
+                jnp.add, jnp.stack([ldb_ext, vm], axis=1), jnp.float32(0.0)
+            ),
+        ],
+        axis=0,
+    )
+
+    def _boxmean(prefix, pos, k0):
+        b_lo = jnp.maximum(pos - k0, 0)
+        b_hi = jnp.minimum(pos + k0, prefix.shape[0] - 2)
+        s = jnp.take(prefix, b_hi + 1, axis=0) - jnp.take(prefix, b_lo, axis=0)
+        return s[:, 0] / jnp.maximum(s[:, 1], 1.0)
+
+    ext_idx = jnp.arange(t_loc + 2 * big_l, dtype=jnp.int32)
+    bp = _boxmean(ps_ldb, ext_idx, V._SYL_SHORT_K) - _boxmean(
+        ps_ldb, ext_idx, V._SYL_LONG_K
+    )
+    ps_bp = jnp.concatenate(
+        [
+            jnp.zeros((1, 2), jnp.float32),
+            V._blocked_scan(
+                jnp.add,
+                jnp.stack([jnp.abs(bp) * vm, vm], axis=1),
+                jnp.float32(0.0),
+            ),
+        ],
+        axis=0,
+    )
+    sylmod = _boxmean(ps_bp, t_loc_idx + big_l, V._FLUX_BOX_K)
+
+    raw = (
+        active
+        & moving
+        & (frac > V._FLUX_FRAC_THRESHOLD)
+        & (sylmod > V._SYL_MOD_THRESHOLD)
+    )
     marked = jnp.where(raw, t_global, -(1 << 30))
     loc_max = V._blocked_scan(jnp.maximum, marked, jnp.int32(-(1 << 30)))
     pref_max = _exclusive_prefix(

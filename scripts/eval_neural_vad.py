@@ -39,14 +39,19 @@ def log(*a):
 
 
 def evaluate(
-    backends, n_clips: int, clip_seconds: float, frame_rate: int, seed: int
+    backends,
+    n_clips: int,
+    clip_seconds: float,
+    frame_rate: int,
+    seed: int,
+    conditions=None,
 ):
     from ffsubsync_tpu.constants import SAMPLE_RATE
     from ffsubsync_tpu.models.eval_data import CONDITIONS, condition_clips
     from ffsubsync_tpu.ops.vad import make_detector
 
     results = {}  # condition -> backend -> accuracy
-    for name in sorted(CONDITIONS):
+    for name in sorted(conditions if conditions else CONDITIONS):
         clips = condition_clips(
             name, n_clips, clip_seconds, frame_rate, SAMPLE_RATE, seed=seed
         )
@@ -118,6 +123,12 @@ def main() -> int:
     )
     ap.add_argument("--update-eval-md", action="store_true")
     ap.add_argument("--platform", default=None)
+    ap.add_argument(
+        "--conditions",
+        default=None,
+        help="comma-separated condition subset (default: all); a subset run "
+        "never updates EVAL.md (the table must stay complete)",
+    )
     args = ap.parse_args()
     if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
@@ -125,8 +136,25 @@ def main() -> int:
 
         jax.config.update("jax_platforms", args.platform)
     backends = args.backends.split(",")
+    conditions = args.conditions.split(",") if args.conditions else None
+    if conditions:
+        from ffsubsync_tpu.models.eval_data import CONDITIONS
+
+        unknown = [c for c in conditions if c not in CONDITIONS]
+        if unknown:
+            ap.error(
+                "unknown condition(s) %s (known: %s)"
+                % (",".join(unknown), ",".join(sorted(CONDITIONS)))
+            )
+        if args.update_eval_md:
+            ap.error("--conditions subsets cannot --update-eval-md")
     results = evaluate(
-        backends, args.clips, args.seconds, args.frame_rate, args.seed
+        backends,
+        args.clips,
+        args.seconds,
+        args.frame_rate,
+        args.seed,
+        conditions=conditions,
     )
     table = render_table(results, backends)
     log(table)

@@ -147,10 +147,18 @@ def check_bars(report, frame_rate):
 
     Neural backends (fused/silero) must land within 10 ms of truth on every
     scenario; the webrtc-class kernel is bound only at the default 12 kHz
-    tier — 10 ms on music_bed, 150 ms elsewhere. A failed sync (None offset)
+    tier — 10 ms on the music families whose bed the gate can silence
+    outright (plucked notes via the motion gate; sung vocals and legato
+    strings via the sustained-music veto), 150 ms elsewhere INCLUDING
+    orchestra_bed: a sustained polyphonic bed holds the adaptive noise
+    floor at bed level, which delays dialogue SNR-threshold crossings by a
+    few windows — an onset bias intrinsic to SNR detection under continuous
+    beds (real webrtcvad shares it), not bed-triggered false votes (the
+    veto already zeroes those; see EVAL.md). A failed sync (None offset)
     violates the bar it would otherwise be measured against.
     """
     failures = []
+    webrtc_10ms = ("music_bed", "vocals_bed", "strings_bed")
     for name, row in report["per_scenario"].items():
         truth = row["truth"]
         for vad in ("fused", "silero"):
@@ -164,7 +172,7 @@ def check_bars(report, frame_rate):
                     % (name, vad, abs(row[vad] - truth))
                 )
         if "webrtc" in row and frame_rate == 12000:
-            bar = 0.010 if name == "music_bed" else 0.150
+            bar = 0.010 if name in webrtc_10ms else 0.150
             if row["webrtc"] is None:
                 failures.append("%s webrtc failed to sync" % name)
             elif abs(row["webrtc"] - truth) > bar + _BAR_EPS:

@@ -132,9 +132,11 @@ def test_padded_window_count_properties():
 
 
 def _webrtc_sequential_reference(bands, logmel, ema0, noise0,
-                                 prev_p0=None, prev_m0=None):
+                                 prev_p0=None, prev_m0=None,
+                                 prev_ldb0=None, prev_ldb_len0=0):
     """Straight numpy transcription of the sequential recurrences the
-    parallel kernel replaces (incl. the spectral-motion duty-cycle gate)."""
+    parallel kernel replaces (incl. the spectral-motion duty-cycle gate
+    and the sustained-music syllabic-modulation veto)."""
     from ffsubsync_tpu.ops import vad as vad_mod
 
     alpha = vad_mod._ENERGY_EMA_ALPHA
@@ -143,6 +145,7 @@ def _webrtc_sequential_reference(bands, logmel, ema0, noise0,
     thresh = vad_mod._SNR_THRESHOLD_DB
     hang_n = vad_mod._HANGOVER_WINDOWS
     k = vad_mod._FLUX_BOX_K
+    big_l = vad_mod._SYL_LOOKBACK
     n = len(bands)
 
     mel = np.exp(logmel)
@@ -158,12 +161,14 @@ def _webrtc_sequential_reference(bands, logmel, ema0, noise0,
     noise = noise0.copy()
     score = np.empty(n)
     noise_frac = np.empty(n)
+    ldb = np.empty(n)
     for t in range(n):
         ema = np.where(np.isinf(ema), e[t], alpha * e[t] + (1 - alpha) * ema)
         noise = np.minimum(ema, noise * growth)
         snr_db = 10.0 * (np.log10(ema) - np.log10(noise))
         score[t] = float(np.dot(snr_db, w) / w.sum())
         noise_frac[t] = noise.sum() / ema.sum()
+        ldb[t] = 10.0 * np.log10(max(e[t].sum(), noise.sum()))
     flux_c = np.maximum(flux - vad_mod._FLUX_NOISE_C * noise_frac, 0.0)
     moving = flux_c > vad_mod._FLUX_MOVE_THRESHOLD
     active = score > thresh
@@ -179,6 +184,35 @@ def _webrtc_sequential_reference(bands, logmel, ema0, noise0,
         box = ind_ext[lo : hi + 1]
         frac[t] = box[:, 0].sum() / max(box[:, 1].sum(), 1.0)
 
+    # sustained-music veto: band-passed dB-energy modulation in a ±k box
+    if prev_ldb0 is None:
+        prev_ldb0 = np.zeros(big_l)
+        prev_ldb_len0 = 0
+    prev_v = (np.arange(big_l) >= big_l - prev_ldb_len0).astype(float)
+    ldb_ext = np.concatenate([np.where(prev_v > 0, prev_ldb0, 0.0), ldb])
+    v_ext = np.concatenate([prev_v, np.ones(n)])
+
+    def boxmean(x, v, pos, k0):
+        lo = max(pos - k0, 0)
+        hi = min(pos + k0, len(x) - 1)
+        return (x[lo : hi + 1] * v[lo : hi + 1]).sum() / max(
+            v[lo : hi + 1].sum(), 1.0
+        )
+
+    bp = np.array(
+        [
+            boxmean(ldb_ext, v_ext, i, vad_mod._SYL_SHORT_K)
+            - boxmean(ldb_ext, v_ext, i, vad_mod._SYL_LONG_K)
+            for i in range(big_l + n)
+        ]
+    )
+    sylmod = np.array(
+        [
+            boxmean(np.abs(bp), v_ext, t + big_l, k)
+            for t in range(n)
+        ]
+    )
+
     speech = np.zeros(n, bool)
     hang = 0
     for t in range(n):
@@ -186,10 +220,14 @@ def _webrtc_sequential_reference(bands, logmel, ema0, noise0,
             active[t]
             and moving[t]
             and frac[t] > vad_mod._FLUX_FRAC_THRESHOLD
+            and sylmod[t] > vad_mod._SYL_MOD_THRESHOLD
         )
         hang = hang_n if raw else max(hang - 1, 0)
         speech[t] = hang > 0
-    return speech, ema, noise, p[-1], ind_ext[-k:], min(n_prev + n, k)
+    return (
+        speech, ema, noise, p[-1], ind_ext[-k:], min(n_prev + n, k),
+        ldb_ext[-big_l:], min(prev_ldb_len0 + n, big_l),
+    )
 
 
 def _random_logmel(rng, t, m=40):
@@ -213,6 +251,7 @@ def test_parallel_webrtc_matches_sequential(carry_in):
     from ffsubsync_tpu.ops import vad as vad_mod
 
     k = vad_mod._FLUX_BOX_K
+    big_l = vad_mod._SYL_LOOKBACK
     if carry_in:
         ema0 = np.exp(rng.randn(b)).astype(np.float32)
         noise0 = (np.exp(rng.randn(b)) * 0.1).astype(np.float32)
@@ -223,27 +262,38 @@ def test_parallel_webrtc_matches_sequential(carry_in):
             axis=1,
         )
         prev_len0 = np.int32(k)
+        prev_ldb0 = (rng.randn(big_l) * 4.0 + 20.0).astype(np.float32)
+        prev_ldb_len0 = np.int32(big_l)
     else:
         ema0 = np.full(b, np.inf, np.float32)
         noise0 = np.full(b, np.inf, np.float32)
         prev_p0 = np.full(40, np.inf, np.float32)
         prev_m0 = np.zeros((k, 2), np.float32)
         prev_len0 = np.int32(0)
+        prev_ldb0 = np.zeros(big_l, np.float32)
+        prev_ldb_len0 = np.int32(0)
 
-    want_speech, want_ema, want_noise, want_p, want_m, want_len = (
-        _webrtc_sequential_reference(
-            bands.astype(np.float64),
-            logmel.astype(np.float64),
-            ema0.astype(np.float64),
-            noise0.astype(np.float64),
-            prev_p0=None if not carry_in else prev_p0.astype(np.float64),
-            prev_m0=None if not carry_in else prev_m0.astype(np.float64),
-        )
+    (
+        want_speech, want_ema, want_noise, want_p, want_m, want_len,
+        want_ldb, want_ldb_len,
+    ) = _webrtc_sequential_reference(
+        bands.astype(np.float64),
+        logmel.astype(np.float64),
+        ema0.astype(np.float64),
+        noise0.astype(np.float64),
+        prev_p0=None if not carry_in else prev_p0.astype(np.float64),
+        prev_m0=None if not carry_in else prev_m0.astype(np.float64),
+        prev_ldb0=None if not carry_in else prev_ldb0.astype(np.float64),
+        prev_ldb_len0=int(prev_ldb_len0),
     )
-    got_speech, got_ema, got_noise, got_p, got_m, got_len = _webrtc_from_bands(
+    (
+        got_speech, got_ema, got_noise, got_p, got_m, got_len,
+        got_ldb, got_ldb_len,
+    ) = _webrtc_from_bands(
         jnp.asarray(bands), jnp.asarray(logmel), jnp.int32(t),
         jnp.asarray(ema0), jnp.asarray(noise0), jnp.asarray(prev_p0),
-        jnp.asarray(prev_m0), prev_len0,
+        jnp.asarray(prev_m0), prev_len0, jnp.asarray(prev_ldb0),
+        prev_ldb_len0,
     )
     assert np.array_equal(np.asarray(got_speech), want_speech)
     np.testing.assert_allclose(np.asarray(got_ema), want_ema, rtol=1e-3)
@@ -251,6 +301,8 @@ def test_parallel_webrtc_matches_sequential(carry_in):
     np.testing.assert_allclose(np.asarray(got_p), want_p, rtol=1e-3, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(got_m), want_m)
     assert int(got_len) == want_len
+    np.testing.assert_allclose(np.asarray(got_ldb), want_ldb, rtol=1e-4)
+    assert int(got_ldb_len) == want_ldb_len
 
 
 def test_parallel_webrtc_padding_is_inert():
@@ -265,25 +317,30 @@ def test_parallel_webrtc_padding_is_inert():
     from ffsubsync_tpu.ops import vad as vad_mod
 
     k = vad_mod._FLUX_BOX_K
+    big_l = vad_mod._SYL_LOOKBACK
     ema0 = np.full(b, np.inf, np.float32)
     noise0 = np.full(b, np.inf, np.float32)
     prev_p0 = np.full(40, np.inf, np.float32)
     prev_m0 = np.zeros((k, 2), np.float32)
     prev_len0 = np.int32(0)
+    prev_ldb0 = np.zeros(big_l, np.float32)
+    prev_ldb_len0 = np.int32(0)
 
-    s1, e1, n1, p1, m1, l1 = _webrtc_from_bands(
+    s1, e1, n1, p1, m1, l1, d1, dl1 = _webrtc_from_bands(
         jnp.asarray(bands), jnp.asarray(logmel), jnp.int32(t),
         jnp.asarray(ema0), jnp.asarray(noise0), jnp.asarray(prev_p0),
-        jnp.asarray(prev_m0), prev_len0,
+        jnp.asarray(prev_m0), prev_len0, jnp.asarray(prev_ldb0),
+        prev_ldb_len0,
     )
     padded = np.zeros((512, b), np.float32)
     padded[:t] = bands
     padded_lm = np.zeros((512, 40), np.float32)
     padded_lm[:t] = logmel
-    s2, e2, n2, p2, m2, l2 = _webrtc_from_bands(
+    s2, e2, n2, p2, m2, l2, d2, dl2 = _webrtc_from_bands(
         jnp.asarray(padded), jnp.asarray(padded_lm), jnp.int32(t),
         jnp.asarray(ema0), jnp.asarray(noise0), jnp.asarray(prev_p0),
-        jnp.asarray(prev_m0), prev_len0,
+        jnp.asarray(prev_m0), prev_len0, jnp.asarray(prev_ldb0),
+        prev_ldb_len0,
     )
     assert np.array_equal(np.asarray(s1)[:t], np.asarray(s2)[:t])
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), rtol=1e-5)
@@ -291,6 +348,8 @@ def test_parallel_webrtc_padding_is_inert():
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
     assert int(l1) == int(l2)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
+    assert int(dl1) == int(dl2)
 
 
 def test_detector_chunked_vs_fullsignal_webrtc():

@@ -37,8 +37,9 @@ def test_synth_batch_shapes_and_weights():
 
 def test_negative_clips_upweighted():
     """Hard clips carry extra loss weight: babble/laughter negatives (2.5),
-    note-onset music (1.5), and interlude speech/bed boundary clips (2.0).
-    Speech clips never draw the adversarial-negative weights."""
+    moving-spectrum music (2.0), note-onset music (1.5), and interlude
+    speech/bed boundary clips (2.0). Speech clips never draw the
+    adversarial-negative weights."""
     rng = np.random.RandomState(1)
     pcm, labels, weights = synth_batch(
         rng, 64, 1.0, FRAME_RATE, SAMPLE_RATE, return_weights=True
@@ -46,7 +47,7 @@ def test_negative_clips_upweighted():
     speechy = labels.max(axis=1) > 0
     # speechy clips: baseline or the interlude boundary weight, nothing else
     assert set(np.unique(weights[speechy])) <= {1.0, 2.0}
-    assert set(np.unique(weights[~speechy])) <= {1.0, 1.5, 2.5}
+    assert set(np.unique(weights[~speechy])) <= {1.0, 1.5, 2.0, 2.5}
     assert (weights > 1.0).any()  # some hard clips drew
 
 

@@ -40,6 +40,8 @@ def _monolithic_labels(pcm, mode, frame_rate, sample_rate, nsl):
         jnp.full((N_MELS,), jnp.inf, jnp.float32),
         jnp.zeros((V._FLUX_BOX_K, 2), jnp.float32),
         jnp.int32(0),
+        jnp.zeros((V._SYL_LOOKBACK,), jnp.float32),
+        jnp.int32(0),
         params,
         jnp.float32(nsl),
         mats.window,
