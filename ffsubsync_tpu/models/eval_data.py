@@ -359,7 +359,11 @@ def _orchestral_bed(
     t = np.arange(samples) / frame_rate
     # glissando line: continuous log-frequency sweep, direction flips
     n_sweeps = max(1, int(len(t) / frame_rate / rng.uniform(1.5, 3.0)))
-    edges = np.sort(rng.uniform(0, samples, n_sweeps - 1).astype(int)) if n_sweeps > 1 else np.array([], int)
+    edges = (
+        np.sort(rng.uniform(0, samples, n_sweeps - 1).astype(int))
+        if n_sweeps > 1
+        else np.array([], int)
+    )
     targets = rng.uniform(np.log(300.0), np.log(1400.0), n_sweeps + 1)
     knots = np.concatenate([[0], edges, [samples - 1]]).astype(np.float64)
     gliss_f0 = np.exp(np.interp(np.arange(samples, dtype=np.float64), knots, targets))

@@ -23,7 +23,6 @@ import time
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from ffsubsync_tpu.utils.xla_cache import enable_persistent_cache
 

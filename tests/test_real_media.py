@@ -20,7 +20,6 @@ template, then::
         python -m pytest tests/test_real_media.py -q
 """
 import os
-import tempfile
 
 import pytest
 
