@@ -49,8 +49,9 @@ certify:  # the binding release gate, on the HELD-OUT seed family (see
 	# EVAL.md "Tuning vs certification"): seed 7919 draws were never used
 	# to tune gate constants, select retrains, or set thresholds — only
 	# seed-0-family draws were. Both harnesses must exit 0 here.
-	python scripts/eval_vad_agreement.py --check-bars --seed 7919
-	python scripts/eval_neural_vad.py --seed 7919
+	python scripts/eval_vad_agreement.py --check-bars --seed 7919 \
+		--vads fused,webrtc,silero
+	python scripts/eval_neural_vad.py --seed 7919 --backends silero,fused
 
 clean:
 	$(MAKE) -C native clean
