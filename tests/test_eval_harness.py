@@ -71,6 +71,26 @@ def test_webrtc_bars_scoped_to_12khz_tier():
     assert mod.check_bars(_report(rows), 8000) == []
 
 
+def test_webrtc_music_family_bars():
+    """vocals_bed/strings_bed bind at 10 ms like music_bed; orchestra_bed
+    binds at the generic 150 ms (sustained polyphony parks the adaptive
+    floor at bed level — an onset bias intrinsic to SNR detection, not
+    bed-triggered votes; see check_bars docstring / EVAL.md)."""
+    mod = _load()
+    rows = {
+        "vocals_bed": {"truth": 1.00, "webrtc": 1.00},
+        "strings_bed": {"truth": 2.00, "webrtc": 2.04},  # 40 ms: violation
+        "orchestra_bed": {"truth": 3.00, "webrtc": 3.04},  # 40 ms: inside 150
+    }
+    failures = mod.check_bars(_report(rows), 12000)
+    assert len(failures) == 1 and "strings_bed" in failures[0]
+    rows["orchestra_bed"]["webrtc"] = 3.20  # 200 ms: outside even 150
+    failures = mod.check_bars(_report(rows), 12000)
+    assert sorted(f.split()[0] for f in failures) == [
+        "orchestra_bed", "strings_bed",
+    ]
+
+
 def test_window_gate_exempts_end_to_end_bound_conditions():
     # crowd_babble's window labels are perceptually ambiguous; its binding
     # check is the babble_breaks agreement scenario, so the window gate must
