@@ -369,6 +369,12 @@ def synth_batch(
                 x += noise * np.sqrt(
                     speech_power / (10 ** (snr_db / 10.0)) / noise_power
                 )
+                if snr_db < 5.0:
+                    # hard-SNR recall needs explicit gradient share: adding
+                    # the moving-music negative class diluted it enough to
+                    # cost measured low-SNR accuracy (1.000 -> 0.976) until
+                    # these clips were re-weighted
+                    weights[i] = max(weights[i], 1.75)
             x += speech
             win_act = active[: n_windows * window].reshape(n_windows, window)
             labels[i] = (win_act.mean(axis=1) > 0.5).astype(np.float32)

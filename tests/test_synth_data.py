@@ -45,8 +45,8 @@ def test_negative_clips_upweighted():
         rng, 64, 1.0, FRAME_RATE, SAMPLE_RATE, return_weights=True
     )
     speechy = labels.max(axis=1) > 0
-    # speechy clips: baseline or the interlude boundary weight, nothing else
-    assert set(np.unique(weights[speechy])) <= {1.0, 2.0}
+    # speechy clips: baseline, hard-SNR boost, or interlude boundary weight
+    assert set(np.unique(weights[speechy])) <= {1.0, 1.75, 2.0}
     assert set(np.unique(weights[~speechy])) <= {1.0, 1.5, 2.0, 2.5}
     assert (weights > 1.0).any()  # some hard clips drew
 
