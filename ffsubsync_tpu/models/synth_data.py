@@ -86,10 +86,50 @@ def _pulse_train_vowels(rng, samples: int, frame_rate: int) -> np.ndarray:
     return (out / peak).astype(np.float32)
 
 
+def _impulse_static_resonator(rng, samples: int, frame_rate: int) -> np.ndarray:
+    """Hard glottal impulses through formants FIXED for the whole clip.
+
+    A fourth texture axis for the speech families here: `_pulse_train_vowels`
+    and `_moving_formant_speech` move their filters (articulation), but one
+    talker heard over seconds also presents near-static resonances — a single
+    vocal tract holding a flat read. The excitation is a true impulse train
+    (the brightest glottal source) with slow pitch drift; the filter is three
+    fixed Gaussian resonances plus a low-pass tilt, applied in one FFT pass
+    over the clip; the output is peak-normalized. Crowd babble built from
+    voices like these has a quasi-stationary aggregate spectrum carrying only
+    per-voice syllabic AM — a texture the moving-formant families never
+    produce, and exactly the transfer gap the round-4 babble probe measured
+    (scripts/probe_babble_ceiling.py: in-distribution oracle 1.00 vs shipped
+    0.64 on held-out eval babble windows).
+    """
+    t = np.arange(samples) / frame_rate
+    f0 = rng.uniform(95, 285)
+    drift = 1.0 + rng.uniform(0.02, 0.08) * np.sin(
+        2 * np.pi * rng.uniform(0.15, 1.2) * t + rng.uniform(0, 6.28)
+    )
+    phase = np.cumsum(f0 * drift) / frame_rate
+    excitation = np.zeros(samples, np.float32)
+    excitation[np.diff(np.floor(phase), prepend=0.0) > 0] = 1.0
+    excitation += rng.uniform(0.01, 0.05) * rng.randn(samples).astype(
+        np.float32
+    )
+    spec = np.fft.rfft(excitation)
+    freqs = np.fft.rfftfreq(samples, 1.0 / frame_rate)
+    gain = np.full_like(freqs, rng.uniform(0.03, 0.08))
+    for lo, hi in ((250, 900), (850, 2300), (2200, 3300)):
+        c = rng.uniform(lo, hi)
+        w = rng.uniform(0.07, 0.2) * c
+        gain = gain + np.exp(-0.5 * ((freqs - c) / w) ** 2)
+    gain *= 1.0 / (1.0 + (freqs / rng.uniform(2500.0, 3500.0)) ** 2)
+    out = np.fft.irfft(spec * gain, samples).astype(np.float32)
+    peak = float(np.max(np.abs(out))) + 1e-9
+    return (out / peak).astype(np.float32)
+
+
 def synth_speech(rng, samples: int, frame_rate: int) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (waveform, active_mask) for one speech clip."""
     t = np.arange(samples) / frame_rate
-    mode = rng.randint(4)
+    mode = rng.randint(5)
     f0 = rng.uniform(90, 300)
     if mode == 0:  # formant-weighted, jittered pitch
         jitter = 1.0 + 0.01 * np.cumsum(rng.randn(samples)) / np.sqrt(samples)
@@ -117,8 +157,10 @@ def synth_speech(rng, samples: int, frame_rate: int) -> Tuple[np.ndarray, np.nda
             voiced += (0.4 / h) * np.sin(
                 2 * np.pi * f0 * h * t + rng.uniform(0, 6.28)
             ).astype(np.float32)
-    else:  # source-filter family: pulse excitation through moving formants
+    elif mode == 3:  # source-filter family: pulse excitation, moving formants
         voiced = _pulse_train_vowels(rng, samples, frame_rate)
+    else:  # static-resonator family: impulse train, fixed formants
+        voiced = _impulse_static_resonator(rng, samples, frame_rate)
     active = _utterance_mask(rng, samples, frame_rate)
     level = 10 ** rng.uniform(-1.5, -0.3)
     envelope = _syllabic_am(rng, t) * active * level
@@ -258,8 +300,18 @@ def synth_nonspeech(rng, samples: int, frame_rate: int, mode=None) -> np.ndarray
         # voices draw from every speech family (incl. source-filter), so the
         # negative tracks whatever cues the positive class carries
         voices = rng.randint(6, 17)
+        # half the draws homogenize voice loudness: a crowd mic hears
+        # talkers at comparable levels, and the wide per-voice level spread
+        # from synth_speech otherwise makes every babble draw a
+        # few-dominant-voices mixture — a systematically easier texture
+        # than a flat wall of talkers
+        equal_levels = rng.rand() < 0.5
         for _ in range(voices):
             v, _active = synth_speech(rng, samples, frame_rate)
+            if equal_levels:
+                v = v / (float(np.max(np.abs(v))) + 1e-9) * rng.uniform(
+                    0.5, 1.0
+                )
             x += np.roll(v, rng.randint(samples)).astype(np.float32)
         x *= rng.uniform(1.8, 3.2) / voices
     else:  # laughter-class: overlapping regular voiced burst trains,

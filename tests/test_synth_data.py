@@ -63,7 +63,7 @@ def test_negative_mode_distribution():
 def test_speech_modes_finite_and_active():
     rng = np.random.RandomState(3)
     n = 3 * FRAME_RATE
-    for _ in range(8):  # covers all four modes with high probability
+    for _ in range(10):  # covers all five modes with high probability
         x, active = synth_speech(rng, n, FRAME_RATE)
         assert np.isfinite(x).all()
         assert active.shape == (n,)
