@@ -254,6 +254,49 @@ def synth_nonspeech(rng, samples: int, frame_rate: int, mode=None) -> np.ndarray
                 voice += (
                     rng.uniform(0.5, 1.5) / h**rolloff
                 ) * np.sin(h * phase + rng.uniform(0, 6.28)).astype(np.float32)
+            if rng.rand() < 0.5:
+                # sung-vocals texture: the SAME sustained melodic source
+                # heard through a vocal tract — vowel resonances held for a
+                # whole phrase (redrawn at phrase boundaries), breath gaps
+                # between phrases, and still no syllabic AM. Spectrally it
+                # is a voice (harmonics through formants), which is exactly
+                # the cue a net trained only on unfiltered harmonic stacks
+                # mistakes for speech. Differs from models/eval_data.py's
+                # sung generator by design: random-walk pitch (no note
+                # grid), independent Gaussian vowel draws per phrase.
+                shaped = np.zeros(samples, np.float32)
+                pos = 0
+                while pos < samples:
+                    seg_len = min(
+                        int(rng.uniform(1.5, 4.5) * frame_rate),
+                        samples - pos,
+                    )
+                    seg = voice[pos : pos + seg_len]
+                    spec = np.fft.rfft(seg)
+                    fr = np.fft.rfftfreq(seg_len, 1.0 / frame_rate)
+                    gain = np.full_like(fr, 0.05)
+                    for lo, hi in ((280, 900), (850, 2300), (2200, 3400)):
+                        c = rng.uniform(lo, hi)
+                        bw = rng.uniform(0.08, 0.2) * c
+                        gain = gain + np.exp(-0.5 * ((fr - c) / bw) ** 2)
+                    gain *= 1.0 / (
+                        1.0 + (fr / rng.uniform(2500.0, 4000.0)) ** 1.7
+                    )
+                    seg = np.fft.irfft(spec * gain, seg_len).astype(
+                        np.float32
+                    )
+                    fade = min(int(0.12 * frame_rate), seg_len // 2)
+                    if fade > 0:
+                        seg[:fade] *= np.linspace(
+                            0.0, 1.0, fade, dtype=np.float32
+                        )
+                        seg[seg_len - fade :] *= np.linspace(
+                            1.0, 0.0, fade, dtype=np.float32
+                        )
+                    shaped[pos : pos + seg_len] = seg
+                    pos += seg_len + int(rng.uniform(0.1, 0.5) * frame_rate)
+                peak = float(np.max(np.abs(shaped))) + 1e-9
+                voice = shaped / peak * rng.uniform(1.5, 3.5)
             swell = (1.0 - rng.uniform(0.15, 0.4)) + rng.uniform(
                 0.15, 0.4
             ) * np.sin(
