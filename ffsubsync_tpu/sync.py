@@ -245,6 +245,10 @@ def try_sync(
                 inferred_framerate_ratio_from_length = (
                     float(ref_extractor.num_frames) / sources[0].num_frames
                 )
+                # the "frameratio ratio" typo is the reference's own
+                # (ffsubsync.py:215) and is kept DELIBERATELY: log lines are
+                # parsed output surface (Gooey's progress_regex, user grep
+                # scripts) — see docs/parity.md "Parity strings"
                 logger.info(
                     "inferred frameratio ratio: %.3f"
                     % inferred_framerate_ratio_from_length
