@@ -52,19 +52,38 @@ def _sync_offset(reference, srtin, vad, tmpdir):
     return result["offset_seconds"]
 
 
+# Length-variant scenario slots, appended AFTER the base scenarios so the
+# base slots' truth draws stay unchanged: name -> (base scenario, minutes).
+# noisy_10min exists so the 10 ms neural bar BINDS under the 4 dB pink bed
+# somewhere: at 3-minute clip length the correlation peak jitters 1-3 cells
+# (measured, weights-independent — scripts/probe_noisy_jitter.py is the
+# reproducible protocol), so the 3-min `noisy` slot carries a 30 ms bar and
+# this 10-minute slot carries the tight one.
+LENGTH_VARIANTS = {"noisy_10min": ("noisy", 10.0)}
+
+
+def all_scenarios():
+    from ffsubsync_tpu.models.eval_data import MOVIE_SCENARIOS
+
+    return tuple(MOVIE_SCENARIOS) + tuple(LENGTH_VARIANTS)
+
+
 def run_synthetic(vads, minutes, frame_rate, seed, scenarios=None):
     from ffsubsync_tpu.models.eval_data import MOVIE_SCENARIOS, perturbed_movie
 
     rng = np.random.RandomState(seed)
     rows = []  # (scenario, truth, {vad: offset})
     tmpdir = tempfile.mkdtemp(prefix="ffs_agreement_")
+    slots = [(name, name, minutes) for name in MOVIE_SCENARIOS] + [
+        (name, base, mins) for name, (base, mins) in LENGTH_VARIANTS.items()
+    ]
     try:
-        for i, scenario in enumerate(MOVIE_SCENARIOS):
+        for i, (scenario, base, slot_minutes) in enumerate(slots):
             truth_draw = round(float(rng.uniform(-20.0, 20.0)), 2)
             if scenarios and scenario not in scenarios:
                 continue
             pcm, spans = perturbed_movie(
-                scenario, minutes * 60.0, frame_rate, seed=seed + i
+                base, slot_minutes * 60.0, frame_rate, seed=seed + i
             )
             truth = truth_draw  # drawn per scenario slot, selection-invariant
             wav = os.path.join(tmpdir, "%s.wav" % scenario)
@@ -153,7 +172,10 @@ def check_bars(report, frame_rate):
     the PREVIOUS shipped net identically (so it is not a property of any
     particular weights), and vanished at 10-minute clip length (silero
     exact, fused one cell) — i.e. it is the short-clip variance of the
-    measurement, not detector bias. The webrtc-class kernel is bound only
+    measurement, not detector bias (reproduce with
+    scripts/probe_noisy_jitter.py). The ``noisy_10min`` length-variant slot
+    therefore carries the DEFAULT 10 ms neural bar: the same pink bed binds
+    tightly at the clip length where the jitter vanishes. The webrtc-class kernel is bound only
     at the default 12 kHz
     tier — 10 ms on the music families whose bed the gate can silence
     outright (plucked notes via the motion gate; sung vocals and legato
@@ -233,15 +255,14 @@ def main() -> int:
     else:
         subset = args.scenarios.split(",") if args.scenarios else None
         if subset:
-            from ffsubsync_tpu.models.eval_data import MOVIE_SCENARIOS
-
-            unknown = [s for s in subset if s not in MOVIE_SCENARIOS]
+            known = all_scenarios()
+            unknown = [s for s in subset if s not in known]
             if unknown:
                 # a typo'd subset must not produce an empty report that
                 # --check-bars then waves through as green
                 ap.error(
                     "unknown scenario(s) %s (known: %s)"
-                    % (",".join(unknown), ",".join(MOVIE_SCENARIOS))
+                    % (",".join(unknown), ",".join(known))
                 )
         report = run_synthetic(
             vads, args.minutes, args.frame_rate, args.seed, scenarios=subset

@@ -56,6 +56,29 @@ def test_noisy_neural_bar_is_three_cells():
     assert len(failures) == 1 and "30 ms" in failures[0]
 
 
+def test_noisy_10min_length_variant_binds_at_10ms():
+    # the 10-minute noisy slot exists so the tight bar binds under the pink
+    # bed somewhere (the 3-min slot's jitter is measured short-clip variance
+    # — scripts/probe_noisy_jitter.py); it carries the DEFAULT 10 ms bar
+    mod = _load()
+    rows = {"noisy_10min": {"truth": 1.80, "fused": 1.80, "silero": 1.78}}
+    failures = mod.check_bars(_report(rows), 12000)
+    assert len(failures) == 1 and "10 ms" in failures[0]
+    rows = {"noisy_10min": {"truth": 1.80, "fused": 1.80, "silero": 1.79}}
+    assert mod.check_bars(_report(rows), 12000) == []
+
+
+def test_length_variant_slots_append_after_base_scenarios():
+    # appending (never interleaving) keeps the base slots' truth draws
+    # stable as variants are added — the seed-0 numbers in EVAL.md reproduce
+    from ffsubsync_tpu.models.eval_data import MOVIE_SCENARIOS
+
+    mod = _load()
+    names = mod.all_scenarios()
+    assert names[: len(MOVIE_SCENARIOS)] == tuple(MOVIE_SCENARIOS)
+    assert "noisy_10min" in names[len(MOVIE_SCENARIOS) :]
+
+
 def test_one_grid_cell_error_is_within_the_10ms_bar():
     # offsets are 100 Hz grid cells; exactly one cell off IS the 10 ms bar
     # and must pass despite float64 representation error (1.8 - 1.79 > 0.01)
