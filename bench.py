@@ -147,70 +147,98 @@ def main() -> int:
 
     import jax as _jax
 
-    def run_once():
+    def run_once(attribute: bool = False):
         # the buffered product path (media/audio.py): async chunk dispatch,
         # labels stay on device (LazySpeechSignal), the batched candidate
         # search reads them there — only scores/offsets come back.
-        # Stage attribution (the seams the async pipeline already has):
+        # With ``attribute`` (warmup/diagnostic runs only) the VAD drain is
+        # explicitly synced for a per-stage breakdown:
         #   stage_s = host staging (native decimate/µ-law/frame) + enqueue
         #   vad_s   = wire transfer + device VAD drain (block_until_ready)
         #   align_s = batched candidate search incl. the score/offset pull
+        # TIMED runs skip that sync: the compaction + align programs queue
+        # behind the VAD chunks device-side, so the host pays exactly ONE
+        # blocking pull (the final scores) per sync instead of two round
+        # trips — the attribution sync is measurement instrumentation, not
+        # product work, and on a remote-attached frontend it costs a full
+        # relay round trip.
         t0 = time.perf_counter()
         detector = make_detector(vad_name, SAMPLE_RATE, frame_rate, 0.0)
         signal = detector.gather([detector.dispatch_async(pcm)])
-        t1 = time.perf_counter()
-        _jax.block_until_ready([a for a, _ in signal._parts])
-        t2 = time.perf_counter()
+        breakdown = None
+        t2 = t1 = time.perf_counter()
+        if attribute:
+            _jax.block_until_ready([a for a, _ in signal._parts])
+            t2 = time.perf_counter()
         results = align_candidates(
             signal, candidates, max_offset_samples=60 * SAMPLE_RATE
         )
         t3 = time.perf_counter()
-        breakdown = {
-            "stage_s": round(t1 - t0, 3),
-            "vad_s": round(t2 - t1, 3),
-            "align_s": round(t3 - t2, 3),
-            "n_launches": len(signal._parts),
-        }
-        log(
-            "  stage %.3f s | vad drain %.3f s | align %.3f s (%d launches)"
-            % (t1 - t0, t2 - t1, t3 - t2, len(signal._parts))
-        )
+        if attribute:
+            breakdown = {
+                "stage_s": round(t1 - t0, 3),
+                "vad_s": round(t2 - t1, 3),
+                "align_s": round(t3 - t2, 3),
+                "n_launches": len(signal._parts),
+            }
+            log(
+                "  stage %.3f s | vad drain %.3f s | align %.3f s (%d launches)"
+                % (t1 - t0, t2 - t1, t3 - t2, len(signal._parts))
+            )
         return signal, results, breakdown
 
     # --- warmup / compile ---------------------------------------------------
     log("warmup (compile)...")
     t0 = time.perf_counter()
-    signal, results, _bd = run_once()
+    signal, results, warm_breakdown = run_once(attribute=True)
     log("warmup took %.2f s" % (time.perf_counter() - t0))
 
     # --- timed runs ----------------------------------------------------------
     # the host<->device link on shared/tunneled TPU frontends has multi-second
-    # jitter: report the full best/median/worst distribution, headline on best.
-    # Adaptive sampling: after the minimum run count, keep sampling while the
-    # best is still above BENCH_TARGET_S (isolated-path measurements put the
-    # structural floor near 0.5 s; anything slower is a relay stall, and more
-    # samples raise the odds of catching a healthy link window).
+    # jitter: report the full best/median/worst distribution. The HEADLINE is
+    # the MEDIAN (typical weather), with best kept for continuity with earlier
+    # rounds and worst as the honest tail. Adaptive sampling: after the
+    # minimum run count, keep sampling while the median is still above
+    # BENCH_TARGET_S — more samples pull the median toward the link's typical
+    # behavior rather than whatever weather the first few runs drew.
     n_min = int(os.environ.get("BENCH_RUNS", "5"))
     n_max = int(os.environ.get("BENCH_MAX_RUNS", "15"))
     target_s = float(os.environ.get("BENCH_TARGET_S", "1.8"))
     run_times = []
-    breakdowns = []
     i = 0
-    while i < n_min or (i < n_max and min(run_times) > target_s):
+
+    def _median(xs):
+        return sorted(xs)[len(xs) // 2]
+
+    while i < n_min or (i < n_max and _median(run_times) > target_s):
         t0 = time.perf_counter()
-        signal, results, bd = run_once()
+        signal, results, _ = run_once()
         run_s = time.perf_counter() - t0
         log("run %d: %.3f s" % (i, run_s))
         run_times.append(run_s)
-        breakdowns.append(bd)
         i += 1
     n_runs = len(run_times)
-    best_i = min(range(n_runs), key=lambda i: run_times[i])
-    best_breakdown = breakdowns[best_i]
     run_times.sort()
-    elapsed = run_times[0]
+    best_s = run_times[0]
     median_s = run_times[len(run_times) // 2]
     worst_s = run_times[-1]
+    elapsed = median_s  # headline
+
+    # --- VAD-only throughput (the tracked "VAD audio-hours/sec" metric) -----
+    vad_times = []
+    for _ in range(int(os.environ.get("BENCH_VAD_RUNS", "3"))):
+        t0 = time.perf_counter()
+        det = make_detector(vad_name, SAMPLE_RATE, frame_rate, 0.0)
+        sig = det.gather([det.dispatch_async(pcm)])
+        _jax.block_until_ready([a for a, _ in sig._parts])
+        vad_times.append(time.perf_counter() - t0)
+    vad_times.sort()
+    vad_median = vad_times[len(vad_times) // 2]
+    vad_hours_per_sec = (minutes / 60.0) / vad_median
+    log(
+        "vad-only: best %.3f s / median %.3f s -> %.1f audio-hours/sec"
+        % (vad_times[0], vad_median, vad_hours_per_sec)
+    )
 
     best = max(range(len(results)), key=lambda i: results[i].score)
     got_offset = results[best].offset / SAMPLE_RATE

@@ -212,11 +212,30 @@ def _sharded_program(
     )
     sylmod = _boxmean(ps_bp, t_loc_idx + big_l, V._FLUX_BOX_K)
 
+    # transient-train veto (ops/vad constants block): fast band-pass needs
+    # only ±_SYL_SHORT_K context, subsumed by the ±_SYL_LOOKBACK halos
+    bpf = _boxmean(ps_ldb, ext_idx, V._FAST_SHORT_K) - _boxmean(
+        ps_ldb, ext_idx, V._SYL_SHORT_K
+    )
+    ps_bpf = jnp.concatenate(
+        [
+            jnp.zeros((1, 2), jnp.float32),
+            V._blocked_scan(
+                jnp.add,
+                jnp.stack([jnp.abs(bpf) * vm, vm], axis=1),
+                jnp.float32(0.0),
+            ),
+        ],
+        axis=0,
+    )
+    fastmod = _boxmean(ps_bpf, t_loc_idx + big_l, V._FLUX_BOX_K)
+
     raw = (
         active
         & moving
         & (frac > V._FLUX_FRAC_THRESHOLD)
         & (sylmod > V._SYL_MOD_THRESHOLD)
+        & (fastmod <= V._FAST_MOD_MAX)
     )
     marked = jnp.where(raw, t_global, -(1 << 30))
     loc_max = V._blocked_scan(jnp.maximum, marked, jnp.int32(-(1 << 30)))

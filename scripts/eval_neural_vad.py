@@ -32,6 +32,12 @@ ACCURACY_BAR = 0.90
 # "Bar (neural backend)" documents the exemption; window accuracy is still
 # reported (and ⚠-flagged) for tracking.
 END_TO_END_BOUND_CONDITIONS = ("crowd_babble",)
+# The webrtc-class kernel carries no general window bar (EVAL.md), but
+# capabilities its gates have WON are pinned so a constants change cannot
+# silently regress them: applause rejection is the transient-train veto's
+# whole job (0.004 -> 1.000 when it landed; bar at 0.5 per the round-5
+# acceptance criterion, far under the measured margin).
+WEBRTC_WINDOW_BARS = {"applause": 0.5}
 
 
 def log(*a):
@@ -181,9 +187,11 @@ def gate_verdict(results):
     """(worst, worst_gated, exit_code) for a per-condition results dict.
 
     ``worst`` spans every condition (the reported headline number);
-    ``worst_gated`` excludes the END_TO_END_BOUND_CONDITIONS, and only it
-    drives the exit code — the exempt conditions' binding check lives in
+    ``worst_gated`` excludes the END_TO_END_BOUND_CONDITIONS, and it drives
+    the exit code — the exempt conditions' binding check lives in
     ``eval_vad_agreement.py --check-bars`` (EVAL.md "Bar (neural backend)").
+    The exit code also enforces WEBRTC_WINDOW_BARS when webrtc results are
+    present (pinned won capabilities; see the constant).
     """
     neural = [results[c].get("silero") for c in results if "silero" in results[c]]
     worst = min(neural) if neural else None
@@ -193,11 +201,13 @@ def gate_verdict(results):
         if "silero" in results[c] and c not in END_TO_END_BOUND_CONDITIONS
     ]
     worst_gated = min(gated) if gated else None
-    return (
-        worst,
-        worst_gated,
-        0 if (worst_gated is None or worst_gated >= ACCURACY_BAR) else 1,
+    webrtc_ok = all(
+        results[c]["webrtc"] >= bar
+        for c, bar in WEBRTC_WINDOW_BARS.items()
+        if c in results and "webrtc" in results[c]
     )
+    neural_ok = worst_gated is None or worst_gated >= ACCURACY_BAR
+    return (worst, worst_gated, 0 if (neural_ok and webrtc_ok) else 1)
 
 
 if __name__ == "__main__":

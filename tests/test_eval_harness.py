@@ -143,6 +143,22 @@ def test_window_gate_exempts_end_to_end_bound_conditions():
     assert mod.gate_verdict(results)[2] == 1
 
 
+def test_webrtc_applause_window_bar_pinned():
+    # the transient-train veto's win (applause 0.004 -> 1.000) is pinned at
+    # 0.5 so a gate-constants change cannot silently regress it
+    mod = _load("eval_neural_vad.py")
+    results = {
+        "applause": {"silero": 1.0, "webrtc": 0.95},
+        "plucked_music": {"silero": 0.95},
+    }
+    assert mod.gate_verdict(results)[2] == 0
+    results["applause"]["webrtc"] = 0.3
+    assert mod.gate_verdict(results)[2] == 1
+    # absent webrtc results (e.g. --backends silero,fused) don't trip it
+    del results["applause"]["webrtc"]
+    assert mod.gate_verdict(results)[2] == 0
+
+
 def test_failed_sync_counts_as_violation():
     mod = _load()
     rows = {"clean": {"truth": 0.0, "fused": None, "webrtc": None}}
