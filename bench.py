@@ -284,6 +284,8 @@ def main() -> int:
                 "median_s": round(median_s, 3),
                 "worst_s": round(worst_s, 3),
                 "offset_err_ms": round(offset_err_ms, 1),
+                "vad_audio_hours_per_sec": round(vad_hours_per_sec, 2),
+                "vad_median_s": round(vad_median, 3),
                 "breakdown": diag_breakdown,
                 "e2e_cli_s": None if e2e_s is None else round(e2e_s, 3),
                 "e2e_offset_err_ms": (
