@@ -57,6 +57,27 @@ _NOISE_FLOOR_GROWTH = 1.0030  # per 10 ms; floor doubles in ~2.3 s
 _BAND_WEIGHTS = np.array([0.6, 1.0, 1.0, 0.9, 0.7, 0.5], dtype=np.float32)
 _SNR_THRESHOLD_DB = 6.0
 _HANGOVER_WINDOWS = 8
+# Pre-hangover (lookahead) — symmetrizes the label dilation. The causal
+# machinery is asymmetric around a true speech span: onsets are detected
+# essentially on time (the EMA jump α·E clears the 6 dB threshold within a
+# window on every tuning draw measured), but releases overhang by the EMA
+# decay through the threshold (~1.9 dB/window from plateau ≈ +5..10
+# windows) plus the trailing hangover (+8) — measured median release
+# overhang +10..+19 windows on clean/strings, up to +51 under vocals beds.
+# One-sided late mass drags the FFT correlation peak late by a
+# draw-dependent amount: across tuning seeds 1–8 the music-scenario offset
+# error averaged +0.10 s (21/24 slots past the 10 ms bar, all but one
+# LATE). Marking the _PRE_HANGOVER_WINDOWS windows BEFORE each raw vote as
+# speech balances the trailing overhang, zeroing the mean error on the
+# same draws (P=13: mean −0.004 s; protocol + artifact:
+# scripts/probe_webrtc_bias.py / EVAL_webrtc_bias.json — 13 is the
+# measured release overhang 10–19 minus the onset exactness, i.e. the
+# symmetry point, not a per-seed fit). The residual ±0.1 s variance at 3-minute
+# clip length is short-clip measurement noise (40 spans); at 10-minute
+# length the music scenarios bind tightly (see EVAL.md bars). Streaming
+# chunk boundaries truncate the lookahead at the right edge, the same
+# exact-left/truncated-right policy as every centered box here.
+_PRE_HANGOVER_WINDOWS = 13
 _N_BANDS = len(_BAND_WEIGHTS)
 
 # Spectral-flux speech/music discriminator. Energy SNR alone cannot tell
@@ -396,7 +417,16 @@ def _webrtc_from_bands(bands, logmel, n_valid, ema_in, noise_in, prev_p_in,
     last = _blocked_scan(
         jnp.maximum, jnp.where(raw, t_idx, -(1 << 30)), jnp.int32(-(1 << 30))
     )
-    speech = t_idx - last < _HANGOVER_WINDOWS
+    nxt = jnp.flip(
+        _blocked_scan(
+            jnp.minimum,
+            jnp.flip(jnp.where(raw, t_idx, (1 << 30))),
+            jnp.int32(1 << 30),
+        )
+    )
+    speech = (t_idx - last < _HANGOVER_WINDOWS) | (
+        nxt - t_idx < _PRE_HANGOVER_WINDOWS
+    )
     out_t = jnp.maximum(n_valid - 1, 0)
     prev_m_out = jax.lax.dynamic_slice(ind_ext, (n_valid, 0), (k, 2))
     prev_ldb_out = jax.lax.dynamic_slice(ldb_ext, (n_valid,), (big_l,))

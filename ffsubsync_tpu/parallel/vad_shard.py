@@ -61,6 +61,25 @@ def _exclusive_prefix(summary, combine, identity, axis_name):
     return jax.tree_util.tree_map(take, scanned, identity)
 
 
+def _exclusive_suffix(summary, combine, identity, axis_name, n_dev):
+    """Mirror of :func:`_exclusive_prefix` from the RIGHT: each chip's
+    combine of all LATER chips' scan summaries (for the pre-hangover's
+    next-raw-vote suffix minimum)."""
+    gathered = jax.lax.all_gather(summary, axis_name)  # [D, ...]
+    scanned = jax.lax.associative_scan(
+        combine, gathered, axis=0, reverse=True
+    )
+    idx = jax.lax.axis_index(axis_name)
+    take = lambda s, ident: jnp.where(  # noqa: E731
+        idx < n_dev - 1,
+        jax.lax.dynamic_index_in_dim(
+            s, jnp.minimum(idx + 1, n_dev - 1), axis=0, keepdims=False
+        ),
+        jnp.asarray(ident, s.dtype),
+    )
+    return jax.tree_util.tree_map(take, scanned, identity)
+
+
 def _sharded_program(
     framed, dft_mel, dft_plain, mel_fb, band_sel, n_valid, nv_params,
     non_speech_label, window, wpad, mode, interpret, axis_name, n_dev,
@@ -243,7 +262,19 @@ def _sharded_program(
         loc_max[-1], jnp.maximum, jnp.int32(-(1 << 30)), axis_name
     )
     last = jnp.maximum(loc_max, pref_max)
-    speech = t_global - last < V._HANGOVER_WINDOWS
+    # pre-hangover (ops/vad constants block): suffix minimum of raw-vote
+    # indices — local reverse scan + the combine of all later shards
+    marked_n = jnp.where(raw, t_global, (1 << 30))
+    loc_min_n = jnp.flip(
+        V._blocked_scan(jnp.minimum, jnp.flip(marked_n), jnp.int32(1 << 30))
+    )
+    suf_min = _exclusive_suffix(
+        loc_min_n[0], jnp.minimum, jnp.int32(1 << 30), axis_name, n_dev
+    )
+    nxt = jnp.minimum(loc_min_n, suf_min)
+    speech = (t_global - last < V._HANGOVER_WINDOWS) | (
+        nxt - t_global < V._PRE_HANGOVER_WINDOWS
+    )
     webrtc_labels = jnp.where(speech, 1.0, non_speech_label)
 
     # ---- neural detector: global normalization + halo exchange -------------

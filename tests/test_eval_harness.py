@@ -88,43 +88,41 @@ def test_one_grid_cell_error_is_within_the_10ms_bar():
     rows = {"clean": {"truth": 1.80, "silero": 1.78}}  # two cells: out
     failures = mod.check_bars(_report(rows), 12000)
     assert len(failures) == 1 and "silero" in failures[0]
-    # same inclusivity on the webrtc music_bed bar
-    rows = {"music_bed": {"truth": -3.05, "webrtc": -3.06}}
+    # same inclusivity on the webrtc 3-min bar (exactly 250 ms passes)
+    rows = {"music_bed": {"truth": -3.05, "webrtc": -3.30}}
     assert mod.check_bars(_report(rows), 12000) == []
 
 
 def test_webrtc_bars_scoped_to_12khz_tier():
     mod = _load()
     rows = {
-        # 100 ms skew: inside the generic 150 ms bar...
+        # 100 ms skew: inside the 3-min 250 ms envelope...
         "laughter_breaks": {"truth": -2.50, "webrtc": -2.40},
-        # ...but music_bed binds at 10 ms
-        "music_bed": {"truth": -3.05, "webrtc": -3.08},
+        # ...music_bed too (the multi-seed envelope, probe_webrtc_bias.py)
+        "music_bed": {"truth": -3.05, "webrtc": -3.13},
+        # ...but 300 ms is outside it anywhere
+        "clean": {"truth": 1.00, "webrtc": 1.30},
     }
     failures = mod.check_bars(_report(rows), 12000)
-    assert len(failures) == 1 and "music_bed" in failures[0]
+    assert len(failures) == 1 and "clean" in failures[0]
     # the webrtc-class kernel is tracked unbound at other tiers (EVAL.md)
     assert mod.check_bars(_report(rows), 8000) == []
 
 
-def test_webrtc_music_family_bars():
-    """vocals_bed/strings_bed bind at 10 ms like music_bed; orchestra_bed
-    binds at the generic 150 ms (sustained polyphony parks the adaptive
-    floor at bed level — an onset bias intrinsic to SNR detection, not
-    bed-triggered votes; see check_bars docstring / EVAL.md)."""
+def test_webrtc_music_10min_variants_bind_tighter():
+    """The *_10min music variants carry the 150 ms bar — the 3-min slots'
+    ±0.1-0.2 s short-clip variance collapses at 10-minute length (measured:
+    scripts/probe_webrtc_bias.py / EVAL_webrtc_bias.json), so the tighter
+    bound binds there, the noisy_10min pattern applied to the webrtc
+    kernel."""
     mod = _load()
     rows = {
-        "vocals_bed": {"truth": 1.00, "webrtc": 1.00},
-        "strings_bed": {"truth": 2.00, "webrtc": 2.04},  # 40 ms: violation
-        "orchestra_bed": {"truth": 3.00, "webrtc": 3.04},  # 40 ms: inside 150
+        "music_bed_10min": {"truth": 1.00, "webrtc": 1.12},  # inside 150
+        "vocals_bed_10min": {"truth": 2.00, "webrtc": 2.18},  # outside
+        "strings_bed": {"truth": 3.00, "webrtc": 3.18},  # 3-min: inside 250
     }
     failures = mod.check_bars(_report(rows), 12000)
-    assert len(failures) == 1 and "strings_bed" in failures[0]
-    rows["orchestra_bed"]["webrtc"] = 3.20  # 200 ms: outside even 150
-    failures = mod.check_bars(_report(rows), 12000)
-    assert sorted(f.split()[0] for f in failures) == [
-        "orchestra_bed", "strings_bed",
-    ]
+    assert len(failures) == 1 and "vocals_bed_10min" in failures[0]
 
 
 def test_window_gate_exempts_end_to_end_bound_conditions():

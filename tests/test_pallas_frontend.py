@@ -213,17 +213,23 @@ def _webrtc_sequential_reference(bands, logmel, ema0, noise0,
         ]
     )
 
+    raws = np.array(
+        [
+            bool(
+                active[t]
+                and moving[t]
+                and frac[t] > vad_mod._FLUX_FRAC_THRESHOLD
+                and sylmod[t] > vad_mod._SYL_MOD_THRESHOLD
+            )
+            for t in range(n)
+        ]
+    )
+    pre_n = vad_mod._PRE_HANGOVER_WINDOWS
     speech = np.zeros(n, bool)
-    hang = 0
     for t in range(n):
-        raw = (
-            active[t]
-            and moving[t]
-            and frac[t] > vad_mod._FLUX_FRAC_THRESHOLD
-            and sylmod[t] > vad_mod._SYL_MOD_THRESHOLD
-        )
-        hang = hang_n if raw else max(hang - 1, 0)
-        speech[t] = hang > 0
+        speech[t] = raws[max(t - hang_n + 1, 0) : t + 1].any() or raws[
+            t : t + pre_n
+        ].any()
     return (
         speech, ema, noise, p[-1], ind_ext[-k:], min(n_prev + n, k),
         ldb_ext[-big_l:], min(prev_ldb_len0 + n, big_l),
