@@ -292,9 +292,10 @@ def _webrtc_from_bands(bands, logmel, n_valid, ema_in, noise_in, prev_p_in,
     and the carried-out state is read at ``n_valid - 1`` so streaming chunked
     use sees exactly the unpadded recurrence. ``+inf`` in the carried-in
     state means "uninitialized" (first chunk): the first window's energies
-    seed the EMA and the floor. Returns (speech_bool [T], ema_state [B],
-    noise_floor [B], prev_p [M], prev_m [K, 2], prev_m_len, prev_ldb [L],
-    prev_ldb_len).
+    seed the EMA and the floor. Returns (speech_bool [T] — the standalone
+    stream incl. the pre-hangover, speech_fuse_bool [T] — the trailing-only
+    stream the fusion modes consume, ema_state [B], noise_floor [B],
+    prev_p [M], prev_m [K, 2], prev_m_len, prev_ldb [L], prev_ldb_len).
     """
     t_pad = bands.shape[0]
     t_idx = jnp.arange(t_pad, dtype=jnp.int32)
@@ -424,14 +425,21 @@ def _webrtc_from_bands(bands, logmel, n_valid, ema_in, noise_in, prev_p_in,
             jnp.int32(1 << 30),
         )
     )
-    speech = (t_idx - last < _HANGOVER_WINDOWS) | (
-        nxt - t_idx < _PRE_HANGOVER_WINDOWS
-    )
+    # two label streams from the same raw votes: the STANDALONE stream adds
+    # the pre-hangover (symmetrizing the dilation that otherwise biases the
+    # --vad webrtc aligner late — constants block), while the FUSION stream
+    # keeps the trailing-only hangover: inside fused the neural backend's
+    # precise onsets dominate the peak, and dilated webrtc mass only adds
+    # early noise there (measured: fused seed-0 agreement MAE 0.001 s with
+    # the trailing-only stream vs 0.007 s consuming the dilated one).
+    speech_fuse = t_idx - last < _HANGOVER_WINDOWS
+    speech = speech_fuse | (nxt - t_idx < _PRE_HANGOVER_WINDOWS)
     out_t = jnp.maximum(n_valid - 1, 0)
     prev_m_out = jax.lax.dynamic_slice(ind_ext, (n_valid, 0), (k, 2))
     prev_ldb_out = jax.lax.dynamic_slice(ldb_ext, (n_valid,), (big_l,))
     return (
         speech,
+        speech_fuse,
         ema_seq[out_t],
         jnp.exp(ln_noise[out_t]),
         p[out_t],
@@ -621,9 +629,12 @@ def make_webrtc_detector(
         "prev_ldb_len": jnp.int32(0),
     }
 
-    def _from_frontend(logmel, bands, n_windows: int) -> np.ndarray:
+    def _from_frontend(
+        logmel, bands, n_windows: int, for_fusion: bool = False
+    ) -> np.ndarray:
         (
             speech,
+            speech_fuse,
             state["ema"],
             state["noise"],
             state["prev_p"],
@@ -636,8 +647,11 @@ def make_webrtc_detector(
             state["prev_p"], state["prev_m"], state["prev_m_len"],
             state["prev_ldb"], state["prev_ldb_len"],
         )
+        # standalone callers get the pre-hangover stream; fusion callers the
+        # trailing-only one (_webrtc_from_bands docstring)
+        picked = speech_fuse if for_fusion else speech
         return np.where(
-            np.asarray(speech[:n_windows]), 1.0, non_speech_label
+            np.asarray(picked[:n_windows]), 1.0, non_speech_label
         )
 
     def _fallback(pcm) -> np.ndarray:
@@ -842,6 +856,7 @@ def _vad_program(
     bands = out[:, plf.BAND_OFF : plf.BAND_OFF + plf.N_BANDS]
     (
         speech,
+        speech_fuse,
         ema_out,
         noise_out,
         prev_p_out,
@@ -853,7 +868,11 @@ def _vad_program(
         bands, logmel, n_valid, ema_in, noise_in, prev_p_in, prev_m_in,
         prev_m_len, prev_ldb_in, prev_ldb_len,
     )
-    webrtc_labels = jnp.where(speech, 1.0, non_speech_label)
+    # standalone --vad webrtc reads the pre-hangover stream; fusion modes
+    # read the trailing-only stream (_webrtc_from_bands docstring)
+    webrtc_labels = jnp.where(
+        speech if mode == "webrtc" else speech_fuse, 1.0, non_speech_label
+    )
 
     ctx = nv.CONTEXT
     feats = jnp.concatenate([carry_feats, logmel], axis=0)  # [ctx+T, M]
@@ -1074,7 +1093,7 @@ def make_fused_detector(
             pcm, frame_rate, sample_rate
         )
         return _fuse(
-            webrtc_from(logmel, bands, n_windows),
+            webrtc_from(logmel, bands, n_windows, for_fusion=True),
             silero_from(logmel, n_windows),
         )
 

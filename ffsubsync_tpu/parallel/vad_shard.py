@@ -272,10 +272,13 @@ def _sharded_program(
         loc_min_n[0], jnp.minimum, jnp.int32(1 << 30), axis_name, n_dev
     )
     nxt = jnp.minimum(loc_min_n, suf_min)
-    speech = (t_global - last < V._HANGOVER_WINDOWS) | (
-        nxt - t_global < V._PRE_HANGOVER_WINDOWS
+    speech_fuse = t_global - last < V._HANGOVER_WINDOWS
+    speech = speech_fuse | (nxt - t_global < V._PRE_HANGOVER_WINDOWS)
+    # standalone --vad webrtc reads the pre-hangover stream; fusion modes
+    # read the trailing-only one (ops/vad._webrtc_from_bands docstring)
+    webrtc_labels = jnp.where(
+        speech if mode == "webrtc" else speech_fuse, 1.0, non_speech_label
     )
-    webrtc_labels = jnp.where(speech, 1.0, non_speech_label)
 
     # ---- neural detector: global normalization + halo exchange -------------
     ctx = nv.CONTEXT

@@ -226,13 +226,13 @@ def _webrtc_sequential_reference(bands, logmel, ema0, noise0,
     )
     pre_n = vad_mod._PRE_HANGOVER_WINDOWS
     speech = np.zeros(n, bool)
+    speech_fuse = np.zeros(n, bool)
     for t in range(n):
-        speech[t] = raws[max(t - hang_n + 1, 0) : t + 1].any() or raws[
-            t : t + pre_n
-        ].any()
+        speech_fuse[t] = raws[max(t - hang_n + 1, 0) : t + 1].any()
+        speech[t] = speech_fuse[t] or raws[t : t + pre_n].any()
     return (
-        speech, ema, noise, p[-1], ind_ext[-k:], min(n_prev + n, k),
-        ldb_ext[-big_l:], min(prev_ldb_len0 + n, big_l),
+        speech, speech_fuse, ema, noise, p[-1], ind_ext[-k:],
+        min(n_prev + n, k), ldb_ext[-big_l:], min(prev_ldb_len0 + n, big_l),
     )
 
 
@@ -280,8 +280,8 @@ def test_parallel_webrtc_matches_sequential(carry_in):
         prev_ldb_len0 = np.int32(0)
 
     (
-        want_speech, want_ema, want_noise, want_p, want_m, want_len,
-        want_ldb, want_ldb_len,
+        want_speech, want_fuse, want_ema, want_noise, want_p, want_m,
+        want_len, want_ldb, want_ldb_len,
     ) = _webrtc_sequential_reference(
         bands.astype(np.float64),
         logmel.astype(np.float64),
@@ -293,7 +293,7 @@ def test_parallel_webrtc_matches_sequential(carry_in):
         prev_ldb_len0=int(prev_ldb_len0),
     )
     (
-        got_speech, got_ema, got_noise, got_p, got_m, got_len,
+        got_speech, got_fuse, got_ema, got_noise, got_p, got_m, got_len,
         got_ldb, got_ldb_len,
     ) = _webrtc_from_bands(
         jnp.asarray(bands), jnp.asarray(logmel), jnp.int32(t),
@@ -302,6 +302,7 @@ def test_parallel_webrtc_matches_sequential(carry_in):
         prev_ldb_len0,
     )
     assert np.array_equal(np.asarray(got_speech), want_speech)
+    assert np.array_equal(np.asarray(got_fuse), want_fuse)
     np.testing.assert_allclose(np.asarray(got_ema), want_ema, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(got_noise), want_noise, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(got_p), want_p, rtol=1e-3, atol=1e-6)
@@ -332,7 +333,7 @@ def test_parallel_webrtc_padding_is_inert():
     prev_ldb0 = np.zeros(big_l, np.float32)
     prev_ldb_len0 = np.int32(0)
 
-    s1, e1, n1, p1, m1, l1, d1, dl1 = _webrtc_from_bands(
+    s1, sf1, e1, n1, p1, m1, l1, d1, dl1 = _webrtc_from_bands(
         jnp.asarray(bands), jnp.asarray(logmel), jnp.int32(t),
         jnp.asarray(ema0), jnp.asarray(noise0), jnp.asarray(prev_p0),
         jnp.asarray(prev_m0), prev_len0, jnp.asarray(prev_ldb0),
@@ -342,13 +343,14 @@ def test_parallel_webrtc_padding_is_inert():
     padded[:t] = bands
     padded_lm = np.zeros((512, 40), np.float32)
     padded_lm[:t] = logmel
-    s2, e2, n2, p2, m2, l2, d2, dl2 = _webrtc_from_bands(
+    s2, sf2, e2, n2, p2, m2, l2, d2, dl2 = _webrtc_from_bands(
         jnp.asarray(padded), jnp.asarray(padded_lm), jnp.int32(t),
         jnp.asarray(ema0), jnp.asarray(noise0), jnp.asarray(prev_p0),
         jnp.asarray(prev_m0), prev_len0, jnp.asarray(prev_ldb0),
         prev_ldb_len0,
     )
     assert np.array_equal(np.asarray(s1)[:t], np.asarray(s2)[:t])
+    assert np.array_equal(np.asarray(sf1)[:t], np.asarray(sf2)[:t])
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(n1), np.asarray(n2), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5)
