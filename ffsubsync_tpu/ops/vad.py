@@ -66,18 +66,27 @@ _HANGOVER_WINDOWS = 8
 # overhang +10..+19 windows on clean/strings, up to +51 under vocals beds.
 # One-sided late mass drags the FFT correlation peak late by a
 # draw-dependent amount: across tuning seeds 1–8 the music-scenario offset
-# error averaged +0.10 s (21/24 slots past the 10 ms bar, all but one
+# error averaged +0.10 s (21/24 slots past the then-10 ms bar, all but one
 # LATE). Marking the _PRE_HANGOVER_WINDOWS windows BEFORE each raw vote as
-# speech balances the trailing overhang, zeroing the mean error on the
-# same draws (P=13: mean −0.004 s; protocol + artifact:
-# scripts/probe_webrtc_bias.py / EVAL_webrtc_bias.json — 13 is the
-# measured release overhang 10–19 minus the onset exactness, i.e. the
-# symmetry point, not a per-seed fit). The residual ±0.1 s variance at 3-minute
-# clip length is short-clip measurement noise (40 spans); at 10-minute
-# length the music scenarios bind tightly (see EVAL.md bars). Streaming
-# chunk boundaries truncate the lookahead at the right edge, the same
-# exact-left/truncated-right policy as every centered box here.
-_PRE_HANGOVER_WINDOWS = 13
+# speech at HALF weight balances the trailing overhang's full-weight mass
+# (P·w ≈ release overhang: a full-weight sweep measured P=13 as the
+# symmetry point — mean error −0.004 s on the same draws — so the
+# half-weight tail doubles it; protocol + artifact:
+# scripts/probe_webrtc_bias.py / EVAL_webrtc_bias.json). The tail is
+# half-weight, NOT full, because on clean high-SNR audio the correlation
+# peak is a PLATEAU (detector mass strictly contains every rasterized
+# cue): a full-weight pre-tail extends the plateau early and the
+# reference-parity tie-break then lands P windows early on pristine
+# audio, while a fractional tail leaves the full-weight plateau — and the
+# tie-break's landing spot — exactly where the old kernel put it (window
+# scoring also still reads pre windows as non-speech: 0.5 is not > 0.5).
+# The residual ±0.1 s variance at 3-minute clip length is short-clip
+# measurement noise (40 spans); at 10-minute length the music scenarios
+# bind tightly (see EVAL.md bars). Streaming chunk boundaries truncate
+# the lookahead at the right edge, the same exact-left/truncated-right
+# policy as every centered box here.
+_PRE_HANGOVER_WINDOWS = 26
+_PRE_HANGOVER_WEIGHT = 0.5
 _N_BANDS = len(_BAND_WEIGHTS)
 
 # Spectral-flux speech/music discriminator. Energy SNR alone cannot tell
@@ -292,10 +301,12 @@ def _webrtc_from_bands(bands, logmel, n_valid, ema_in, noise_in, prev_p_in,
     and the carried-out state is read at ``n_valid - 1`` so streaming chunked
     use sees exactly the unpadded recurrence. ``+inf`` in the carried-in
     state means "uninitialized" (first chunk): the first window's energies
-    seed the EMA and the floor. Returns (speech_bool [T] — the standalone
-    stream incl. the pre-hangover, speech_fuse_bool [T] — the trailing-only
-    stream the fusion modes consume, ema_state [B], noise_floor [B],
-    prev_p [M], prev_m [K, 2], prev_m_len, prev_ldb [L], prev_ldb_len).
+    seed the EMA and the floor. Returns (speech_strength [T] float — the
+    standalone stream: 1.0 on raw/trailing-hangover windows,
+    _PRE_HANGOVER_WEIGHT on pre-hangover-only windows; speech_fuse_bool
+    [T] — the trailing-only stream the fusion modes consume; ema_state [B],
+    noise_floor [B], prev_p [M], prev_m [K, 2], prev_m_len, prev_ldb [L],
+    prev_ldb_len).
     """
     t_pad = bands.shape[0]
     t_idx = jnp.arange(t_pad, dtype=jnp.int32)
@@ -426,19 +437,23 @@ def _webrtc_from_bands(bands, logmel, n_valid, ema_in, noise_in, prev_p_in,
         )
     )
     # two label streams from the same raw votes: the STANDALONE stream adds
-    # the pre-hangover (symmetrizing the dilation that otherwise biases the
-    # --vad webrtc aligner late — constants block), while the FUSION stream
-    # keeps the trailing-only hangover: inside fused the neural backend's
-    # precise onsets dominate the peak, and dilated webrtc mass only adds
-    # early noise there (measured: fused seed-0 agreement MAE 0.001 s with
-    # the trailing-only stream vs 0.007 s consuming the dilated one).
+    # the HALF-WEIGHT pre-hangover (symmetrizing the dilation that
+    # otherwise biases the --vad webrtc aligner late — constants block),
+    # while the FUSION stream keeps the trailing-only hangover: inside
+    # fused the neural backend's precise onsets dominate the peak, and
+    # dilated webrtc mass only adds early noise there (measured: fused
+    # seed-0 agreement MAE 0.001 s with the trailing-only stream vs
+    # 0.007 s consuming the dilated one).
     speech_fuse = t_idx - last < _HANGOVER_WINDOWS
-    speech = speech_fuse | (nxt - t_idx < _PRE_HANGOVER_WINDOWS)
+    pre = nxt - t_idx < _PRE_HANGOVER_WINDOWS
+    speech_strength = jnp.where(
+        speech_fuse, 1.0, jnp.where(pre, _PRE_HANGOVER_WEIGHT, 0.0)
+    )
     out_t = jnp.maximum(n_valid - 1, 0)
     prev_m_out = jax.lax.dynamic_slice(ind_ext, (n_valid, 0), (k, 2))
     prev_ldb_out = jax.lax.dynamic_slice(ldb_ext, (n_valid,), (big_l,))
     return (
-        speech,
+        speech_strength,
         speech_fuse,
         ema_seq[out_t],
         jnp.exp(ln_noise[out_t]),
@@ -647,12 +662,15 @@ def make_webrtc_detector(
             state["prev_p"], state["prev_m"], state["prev_m_len"],
             state["prev_ldb"], state["prev_ldb_len"],
         )
-        # standalone callers get the pre-hangover stream; fusion callers the
-        # trailing-only one (_webrtc_from_bands docstring)
-        picked = speech_fuse if for_fusion else speech
-        return np.where(
-            np.asarray(picked[:n_windows]), 1.0, non_speech_label
-        )
+        # standalone callers get the pre-hangover strength stream; fusion
+        # callers the trailing-only boolean one (_webrtc_from_bands
+        # docstring)
+        if for_fusion:
+            return np.where(
+                np.asarray(speech_fuse[:n_windows]), 1.0, non_speech_label
+            )
+        strength = np.asarray(speech[:n_windows], np.float32)
+        return non_speech_label + (1.0 - non_speech_label) * strength
 
     def _fallback(pcm) -> np.ndarray:
         logmel, bands, _total, n_windows = compute_frontend(
@@ -868,11 +886,13 @@ def _vad_program(
         bands, logmel, n_valid, ema_in, noise_in, prev_p_in, prev_m_in,
         prev_m_len, prev_ldb_in, prev_ldb_len,
     )
-    # standalone --vad webrtc reads the pre-hangover stream; fusion modes
-    # read the trailing-only stream (_webrtc_from_bands docstring)
-    webrtc_labels = jnp.where(
-        speech if mode == "webrtc" else speech_fuse, 1.0, non_speech_label
-    )
+    # standalone --vad webrtc reads the pre-hangover strength stream;
+    # fusion modes read the trailing-only boolean one (_webrtc_from_bands
+    # docstring)
+    if mode == "webrtc":
+        webrtc_labels = non_speech_label + (1.0 - non_speech_label) * speech
+    else:
+        webrtc_labels = jnp.where(speech_fuse, 1.0, non_speech_label)
 
     ctx = nv.CONTEXT
     feats = jnp.concatenate([carry_feats, logmel], axis=0)  # [ctx+T, M]

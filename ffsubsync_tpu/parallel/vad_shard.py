@@ -273,12 +273,19 @@ def _sharded_program(
     )
     nxt = jnp.minimum(loc_min_n, suf_min)
     speech_fuse = t_global - last < V._HANGOVER_WINDOWS
-    speech = speech_fuse | (nxt - t_global < V._PRE_HANGOVER_WINDOWS)
-    # standalone --vad webrtc reads the pre-hangover stream; fusion modes
-    # read the trailing-only one (ops/vad._webrtc_from_bands docstring)
-    webrtc_labels = jnp.where(
-        speech if mode == "webrtc" else speech_fuse, 1.0, non_speech_label
-    )
+    pre = nxt - t_global < V._PRE_HANGOVER_WINDOWS
+    # standalone --vad webrtc reads the pre-hangover strength stream;
+    # fusion modes read the trailing-only boolean one
+    # (ops/vad._webrtc_from_bands docstring)
+    if mode == "webrtc":
+        strength = jnp.where(
+            speech_fuse, 1.0, jnp.where(pre, V._PRE_HANGOVER_WEIGHT, 0.0)
+        )
+        webrtc_labels = (
+            non_speech_label + (1.0 - non_speech_label) * strength
+        )
+    else:
+        webrtc_labels = jnp.where(speech_fuse, 1.0, non_speech_label)
 
     # ---- neural detector: global normalization + halo exchange -------------
     ctx = nv.CONTEXT

@@ -225,11 +225,15 @@ def _webrtc_sequential_reference(bands, logmel, ema0, noise0,
         ]
     )
     pre_n = vad_mod._PRE_HANGOVER_WINDOWS
-    speech = np.zeros(n, bool)
+    pre_w = vad_mod._PRE_HANGOVER_WEIGHT
+    speech = np.zeros(n, np.float64)
     speech_fuse = np.zeros(n, bool)
     for t in range(n):
         speech_fuse[t] = raws[max(t - hang_n + 1, 0) : t + 1].any()
-        speech[t] = speech_fuse[t] or raws[t : t + pre_n].any()
+        if speech_fuse[t]:
+            speech[t] = 1.0
+        elif raws[t : t + pre_n].any():
+            speech[t] = pre_w
     return (
         speech, speech_fuse, ema, noise, p[-1], ind_ext[-k:],
         min(n_prev + n, k), ldb_ext[-big_l:], min(prev_ldb_len0 + n, big_l),
@@ -380,5 +384,26 @@ def test_detector_chunked_vs_fullsignal_webrtc():
     ]
     streamed = np.concatenate(parts)
     assert len(full) == len(streamed)
-    # identical recurrences → identical labels (modulo fp at chunk seams)
-    assert (full != streamed).mean() < 0.01
+    # identical recurrences → identical labels away from chunk seams. Each
+    # seam may legitimately differ on up to _PRE_HANGOVER_WINDOWS left of
+    # it (the truncated-right lookahead policy: a chunk cannot see the next
+    # chunk's raw votes) plus the hangover's reset right of it; production
+    # pipeline chunks are >= 600 s so the seam share is ~1e-4, but this
+    # test's deliberately tiny 7 s chunks make it a few percent.
+    from ffsubsync_tpu.ops import vad as vad_mod
+
+    seams = len(parts) - 1
+    seam_budget = seams * (
+        vad_mod._PRE_HANGOVER_WINDOWS + vad_mod._HANGOVER_WINDOWS + 2
+    )
+    assert (full != streamed).sum() <= seam_budget
+    # and every disagreement sits within one seam's window of a boundary
+    diff_idx = np.nonzero(full != streamed)[0]
+    bounds = np.arange(1, seams + 1) * (chunk // (frame_rate // sample_rate))
+    for i in diff_idx:
+        assert any(
+            b - vad_mod._PRE_HANGOVER_WINDOWS - 1
+            <= i
+            <= b + vad_mod._HANGOVER_WINDOWS
+            for b in bounds
+        ), i
