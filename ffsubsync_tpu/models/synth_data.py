@@ -342,18 +342,23 @@ def synth_nonspeech(rng, samples: int, frame_rate: int, mode=None) -> np.ndarray
     elif mode == 6:  # crowd babble: many overlapped talkers -> texture
         # voices draw from every speech family (incl. source-filter), so the
         # negative tracks whatever cues the positive class carries
-        voices = rng.randint(6, 17)
-        # half the draws homogenize voice loudness: a crowd mic hears
-        # talkers at comparable levels, and the wide per-voice level spread
-        # from synth_speech otherwise makes every babble draw a
+        voices = rng.randint(9, 17)
+        # most draws homogenize voice loudness: a crowd mic hears talkers
+        # at comparable levels, and the wide per-voice level spread from
+        # synth_speech otherwise makes every babble draw a
         # few-dominant-voices mixture — a systematically easier texture
-        # than a flat wall of talkers
-        equal_levels = rng.rand() < 0.5
+        # than a flat wall of talkers. The round-4 dominance probe showed
+        # the shipped net's residual babble false fires concentrate where
+        # NO voice dominates (fire rate 0.30 below −6 dB dominance), i.e.
+        # exactly on the flat-wall texture, so the flat share and the
+        # minimum crowd size were both raised (0.5 → 0.85, 6 → 9 voices)
+        # and the per-voice spread tightened toward a crowd mic's.
+        equal_levels = rng.rand() < 0.85
         for _ in range(voices):
             v, _active = synth_speech(rng, samples, frame_rate)
             if equal_levels:
                 v = v / (float(np.max(np.abs(v))) + 1e-9) * rng.uniform(
-                    0.5, 1.0
+                    0.4, 0.8
                 )
             x += np.roll(v, rng.randint(samples)).astype(np.float32)
         x *= rng.uniform(1.8, 3.2) / voices
