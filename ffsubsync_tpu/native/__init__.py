@@ -104,6 +104,17 @@ if os.path.exists(_LIB_PATH):
                 ctypes.POINTER(ctypes.c_int8),
             ]
             _lib.ffs_stage_i8.restype = None
+        if getattr(_lib, "ffs_stage_p6", None) is not None:
+            _lib.ffs_stage_p6.argtypes = [
+                ctypes.POINTER(ctypes.c_int16),
+                ctypes.c_int64,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            _lib.ffs_stage_p6.restype = None
         for name, elem in (("ffs_mulaw_frame_i8", ctypes.c_int8),
                            ("ffs_frame_i16", ctypes.c_int16)):
             fn = getattr(_lib, name, None)
@@ -230,6 +241,60 @@ def stage_for_device(
     for _ in range(decim_stages):
         pcm = decimate2(pcm)
     return frame_for_device(pcm, window, wpad, t_pad, mulaw=True)
+
+
+def mulaw6_encode_host(pcm_i16: np.ndarray) -> np.ndarray:
+    """Vectorized 6-bit µ-law encode int16 → biased uint8 codes in [0, 62].
+
+    Same compander as :func:`ops.pallas.frontend.mulaw_encode_host`,
+    quantized to 31 levels per sign and biased by +31 (signed 0 → 31)."""
+    x = pcm_i16.astype(np.float32) / 32768.0
+    y = np.sign(x) * np.log1p(255.0 * np.abs(x)) / np.log1p(255.0)
+    return (np.round(y * 31.0) + 31.0).astype(np.uint8)
+
+
+def pack6(codes_u8: np.ndarray) -> np.ndarray:
+    """Pack biased 6-bit codes [..., 4k] → bytes [..., 3k] (4 codes → 3)."""
+    u = codes_u8.astype(np.uint32).reshape(codes_u8.shape[:-1] + (-1, 4))
+    b0 = (u[..., 0] << 2) | (u[..., 1] >> 4)
+    b1 = ((u[..., 1] & 15) << 4) | (u[..., 2] >> 2)
+    b2 = ((u[..., 2] & 3) << 6) | u[..., 3]
+    out = np.stack([b0, b1, b2], axis=-1).astype(np.uint8)
+    return out.reshape(codes_u8.shape[:-1] + (-1,))
+
+
+def stage_for_device_p6(
+    pcm: np.ndarray, decim_stages: int, window: int, t_pad: int
+) -> np.ndarray:
+    """6-bit µ-law wire staging: decimate + encode + pack + frame in one
+    native pass → ``[t_pad, window*3//4]`` int8 (bit patterns; decode with
+    :func:`ops.pallas.frontend.unpack_mulaw6` on device). 25% fewer bytes
+    than the 8-bit wire over the host→device link. Padding rows/tails hold
+    the packed silence pattern (biased code 31), never zero bytes."""
+    if window % 4 != 0:
+        raise ValueError("mulaw6 wire needs window %% 4 == 0, got %d" % window)
+    row_bytes = window * 3 // 4
+    pcm = np.asarray(pcm)
+    if pcm.dtype != np.int16:
+        pcm = pcm.astype(np.int16)
+    pcm = np.ascontiguousarray(pcm)
+    if _lib is not None and getattr(_lib, "ffs_stage_p6", None) is not None:
+        out = np.empty((t_pad, row_bytes), np.uint8)
+        _lib.ffs_stage_p6(
+            _ptr(pcm, ctypes.c_int16),
+            len(pcm),
+            decim_stages,
+            window,
+            row_bytes,
+            t_pad,
+            _ptr(out, ctypes.c_uint8),
+        )
+        return out.view(np.int8)
+    for _ in range(decim_stages):
+        pcm = decimate2(pcm)
+    codes = np.full(t_pad * window, 31, np.uint8)
+    codes[: len(pcm)] = mulaw6_encode_host(pcm)
+    return pack6(codes.reshape(t_pad, window)).view(np.int8)
 
 
 def frame_for_device(

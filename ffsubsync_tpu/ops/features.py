@@ -218,10 +218,18 @@ def prepare_staged_input(
     n_windows = int(np.ceil(n_dec / float(window)))
     t_pad = plf.padded_window_count(max(1, n_windows))
     mats = _get_frontend_mats(frame_rate, window)
-    mulaw = os.environ.get("FFS_TPU_WIRE", "mulaw") == "mulaw"
-    if mulaw:
+    wire = os.environ.get("FFS_TPU_WIRE", "mulaw")
+    if wire == "mulaw6" and window % 4 == 0:
+        # packed 6-bit µ-law: 25% fewer wire bytes; decoded on device by
+        # ops/pallas/frontend.wire_to_frame (called inside each program)
+        framed = native.stage_for_device_p6(pcm, decim_stages, window, t_pad)
+    elif wire == "mulaw" or (wire == "mulaw6" and window % 4 != 0):
+        # 8-bit µ-law, shipped at the NARROW window width: the zero pad
+        # columns up to wpad are appended on device (wire_to_frame), so
+        # they never cross the host→device link (wpad/window − 1 ≈ 6.7%
+        # of the bytes at the 12 kHz tier). Bit-exact vs the padded frame.
         framed = native.stage_for_device(
-            pcm, decim_stages, window, mats.wpad, t_pad
+            pcm, decim_stages, window, window, t_pad
         )
     else:
         for _ in range(decim_stages):

@@ -142,6 +142,86 @@ def _decode_pcm(block: "jnp.ndarray") -> "jnp.ndarray":
     return block.astype(jnp.float32)
 
 
+# --- 6-bit packed µ-law wire (FFS_TPU_WIRE=mulaw6) --------------------------
+#
+# Host packs 4 biased 6-bit codes (code = round(y*31) + 31, same compander)
+# into 3 bytes (native.stage_for_device_p6); the device unpacks + decodes
+# here in plain XLA (one fused elementwise pass, HBM→HBM) and the pallas
+# kernel consumes the float32 frame unchanged. 25% fewer bytes cross the
+# host→device link — the end-to-end bottleneck — for ~26 dB quantization
+# SNR (vs ~38 dB at 8 bits), >20 dB below the hardest eval noise bed.
+
+MULAW6_LEVELS = 31.0
+
+
+def packed6_width(window: int) -> int:
+    """Wire row bytes for a packed 6-bit window (4 codes → 3 bytes)."""
+    if window % 4 != 0:
+        raise ValueError("mulaw6 wire needs window %% 4 == 0, got %d" % window)
+    return window * 3 // 4
+
+
+def unpack_mulaw6(packed: "jnp.ndarray", window: int) -> "jnp.ndarray":
+    """[T, window*3//4] packed int8 → float32 PCM [T, window] (device)."""
+    t = packed.shape[0]
+    b = packed.astype(jnp.uint8).astype(jnp.int32).reshape(t, window // 4, 3)
+    u = jnp.stack(
+        [
+            b[..., 0] >> 2,
+            ((b[..., 0] & 3) << 4) | (b[..., 1] >> 4),
+            ((b[..., 1] & 15) << 2) | (b[..., 2] >> 6),
+            b[..., 2] & 63,
+        ],
+        axis=-1,
+    ).reshape(t, window)
+    c = (u - 31).astype(jnp.float32)
+    mag = jnp.abs(c) * (1.0 / MULAW6_LEVELS)
+    return jnp.sign(c) * _MULAW_SCALE * (jnp.exp2(mag * 8.0) - 1.0)
+
+
+def wire_to_frame(
+    framed: "jnp.ndarray", window: int, wpad: int
+) -> "jnp.ndarray":
+    """Device-side wire → kernel frame, dispatched on the STATIC row width.
+
+    Accepts ``[T, wpad]`` legacy frames (int16 samples or µ-law int8 codes,
+    passed through), ``[T, window]`` narrow µ-law int8 (padded to ``wpad``
+    here so the zero pad columns never cross the link), or
+    ``[T, window*3//4]`` packed 6-bit µ-law (unpacked + decoded here; the
+    kernel sees float32). Call inside the jitted program, before
+    :func:`_frontend_call`."""
+    w = framed.shape[1]
+    if w == wpad:
+        return framed
+    if w == window:
+        return jnp.pad(framed, ((0, 0), (0, wpad - window)))
+    if w == window * 3 // 4:
+        return jnp.pad(
+            unpack_mulaw6(framed, window), ((0, 0), (0, wpad - window))
+        )
+    raise ValueError(
+        "wire width %d matches neither wpad=%d, window=%d, nor packed %d"
+        % (w, wpad, window, window * 3 // 4)
+    )
+
+
+def wire_silence_rows(framed_np, n_rows: int, window: int):
+    """Host-side rows of wire-format silence matching ``framed_np``'s
+    layout, for bucket-padding a staged array (parallel/vad_shard). Zero
+    bytes are correct for every wire EXCEPT packed 6-bit, whose silence is
+    the packed biased-31 pattern (a zero byte would unpack to full-scale
+    negative PCM). The packed layout is identified by its unique row width
+    ``window*3//4``."""
+    if (
+        framed_np.dtype == np.int8
+        and window % 4 == 0
+        and framed_np.shape[1] == window * 3 // 4
+    ):
+        pattern = np.array([125, 247, 223], np.uint8).view(np.int8)
+        return np.tile(pattern, (n_rows, framed_np.shape[1] // 3))
+    return np.zeros((n_rows,) + framed_np.shape[1:], framed_np.dtype)
+
+
 def _frontend_kernel(pcm_ref, dft_mel_ref, dft_plain_ref, mel_fb_ref,
                      band_sel_ref, out_ref, *, inv_window):
     raw = _decode_pcm(pcm_ref[:])  # [TILE_T, Wp]
@@ -220,8 +300,7 @@ def fused_frontend(
                 % (n, TILE_T * window)
             )
         pcm2d = pcm2d.reshape(n // window, window)
-        if mats.wpad != window:
-            pcm2d = jnp.pad(pcm2d, ((0, 0), (0, mats.wpad - window)))
+    pcm2d = wire_to_frame(pcm2d, window, mats.wpad)
     if pcm2d.shape[0] % TILE_T != 0 or pcm2d.shape[1] != mats.wpad:
         raise ValueError("bad framed pcm shape %r" % (pcm2d.shape,))
     out = _frontend_call(

@@ -868,7 +868,8 @@ def _vad_program(
     from ffsubsync_tpu.ops.pallas import frontend as plf
 
     out = plf._frontend_call(
-        framed, dft_mel, dft_plain, mel_fb, band_sel, window, wpad, interpret
+        plf.wire_to_frame(framed, window, wpad),
+        dft_mel, dft_plain, mel_fb, band_sel, window, wpad, interpret,
     )
     logmel = out[:, plf.MEL_OFF : plf.MEL_OFF + plf.N_MELS]
     bands = out[:, plf.BAND_OFF : plf.BAND_OFF + plf.N_BANDS]

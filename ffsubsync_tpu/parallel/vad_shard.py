@@ -92,7 +92,8 @@ def _sharded_program(
     valid = (t_global < n_valid)[:, None]
 
     out = plf._frontend_call(
-        framed, dft_mel, dft_plain, mel_fb, band_sel, window, wpad, interpret
+        plf.wire_to_frame(framed, window, wpad),
+        dft_mel, dft_plain, mel_fb, band_sel, window, wpad, interpret,
     )
     logmel = out[:, plf.MEL_OFF : plf.MEL_OFF + plf.N_MELS]
     bands = out[:, plf.BAND_OFF : plf.BAND_OFF + plf.N_BANDS]
@@ -404,8 +405,10 @@ def make_sharded_detector(
         per = -(-per // plf.TILE_T) * plf.TILE_T
         full = per * n_dev
         if full > t_pad:
+            # wire-format silence rows, NOT bare zeros: the packed 6-bit
+            # wire's silence is a nonzero byte pattern
             framed = np.concatenate(
-                [framed, np.zeros((full - t_pad,) + framed.shape[1:], framed.dtype)]
+                [framed, plf.wire_silence_rows(framed, full - t_pad, mats.window)]
             )
         sharded = NamedSharding(mesh, P(axis_name))
         # device_put on the numpy array slices host-side and sends each

@@ -277,6 +277,79 @@ void ffs_stage_i8(const int16_t *in, int64_t n, int decim_stages, int window,
   }
 }
 
+// --- 6-bit µ-law wire (FFS_TPU_WIRE=mulaw6).
+//
+// Same compander as the 8-bit wire, quantized to 31 levels per sign
+// (code = nearbyint(y*31) in [-31, 31]), biased to [0, 62] and packed
+// 4 codes -> 3 bytes. Quantization SNR drops ~12 dB vs the 8-bit wire
+// (~38 -> ~26 dB) -- still >20 dB below the hardest eval noise bed -- and
+// the bytes crossing the host->device link (the end-to-end bottleneck)
+// drop 25%. Decode is on-device: ops/pallas/frontend.unpack_mulaw6.
+//
+// Fill semantics: "silence" is biased code 31 (signed 0), NOT byte 0, so
+// padding rows/tails are written as the packed (31,31,31,31) pattern --
+// a zero byte would unpack to signed -31 = full-scale negative PCM.
+static uint8_t g_mulaw6_lut[65536];
+static bool g_mulaw6_lut_ready = false;
+
+static void mulaw6_lut_init() {
+  const double inv_log1p_mu = 1.0 / std::log1p(255.0);
+  for (int v = -32768; v < 32768; ++v) {
+    double x = static_cast<double>(v) / 32768.0;
+    double mag = x < 0 ? -x : x;
+    double y = std::log1p(255.0 * mag) * inv_log1p_mu;
+    double code = std::nearbyint(y * 31.0);  // half-even, like np.round
+    int sc = static_cast<int>(x < 0 ? -code : code);
+    g_mulaw6_lut[static_cast<uint16_t>(v)] = static_cast<uint8_t>(sc + 31);
+  }
+  g_mulaw6_lut_ready = true;
+}
+
+static inline void pack6_group(const uint8_t *u, uint8_t *dst) {
+  dst[0] = static_cast<uint8_t>((u[0] << 2) | (u[1] >> 4));
+  dst[1] = static_cast<uint8_t>(((u[1] & 15) << 4) | (u[2] >> 2));
+  dst[2] = static_cast<uint8_t>(((u[2] & 3) << 6) | u[3]);
+}
+
+// Fused decimate^k + 6-bit µ-law + pack + frame into [t_pad, row_bytes]
+// (row_bytes = window*3/4; window must be a multiple of 4). Same structure
+// and edge semantics as ffs_stage_i8.
+void ffs_stage_p6(const int16_t *in, int64_t n, int decim_stages, int window,
+                  int row_bytes, int64_t t_pad, uint8_t *out) {
+  if (!g_mulaw6_lut_ready) mulaw6_lut_init();
+  // silence fill: packed (31,31,31,31) repeating 3-byte pattern
+  static const uint8_t kSilence3[3] = {125, 247, 223};
+  for (int64_t i = 0; i < t_pad * row_bytes; ++i) out[i] = kSilence3[i % 3];
+  int64_t n_dec = n;
+  for (int s = 0; s < decim_stages; ++s) n_dec = (n_dec + 1) / 2;
+  int64_t n_windows = (n_dec + window - 1) / window;
+  if (n_windows > t_pad) n_windows = t_pad;
+  const int64_t kChunkWindows = 256;
+  std::vector<int32_t> buf(static_cast<size_t>(kChunkWindows * window));
+  std::vector<uint8_t> codes(static_cast<size_t>(window));
+  for (int64_t w0 = 0; w0 < n_windows; w0 += kChunkWindows) {
+    int64_t wc = n_windows - w0 < kChunkWindows ? n_windows - w0 : kChunkWindows;
+    int64_t start = w0 * window;
+    int64_t lim = n_dec - start;
+    int64_t count = wc * window < lim ? wc * window : lim;
+    decim_eval(in, n, decim_stages, start, count, buf.data());
+    for (int64_t w = 0; w < wc; ++w) {
+      uint8_t *dst = out + (w0 + w) * row_bytes;
+      const int32_t *src = buf.data() + w * window;
+      int64_t rem = count - w * window;
+      int64_t cw = rem < window ? (rem < 0 ? 0 : rem) : window;
+      for (int64_t i = 0; i < cw; ++i) {
+        codes[i] =
+            g_mulaw6_lut[static_cast<uint16_t>(static_cast<int16_t>(src[i]))];
+      }
+      for (int64_t i = cw; i < window; ++i) codes[i] = 31;
+      for (int64_t g = 0; g < window / 4; ++g) {
+        pack6_group(codes.data() + 4 * g, dst + 3 * g);
+      }
+    }
+  }
+}
+
 // Raw int16 framing into the [t_pad, wpad] layout (FFS_TPU_WIRE=i16 path).
 void ffs_frame_i16(const int16_t *in, int64_t n, int window, int wpad,
                    int64_t t_pad, int16_t *out) {
