@@ -491,9 +491,35 @@ def synth_batch(
                 weights[i] = 1.5
         pcm[i] = x
     pcm16 = np.clip(pcm * 32767, -32768, 32767).astype(np.int16)
+    # Wire-codec augmentation: inference ALWAYS sees the host->device wire
+    # compander (8-bit µ-law by default, packed 6-bit under
+    # FFS_TPU_WIRE=mulaw6 — ops/features.prepare_staged_input), but clean
+    # training audio never did. Round-tripping a share of clips through
+    # each codec closes the train/infer gap; measured without it, the
+    # 6-bit wire's ~26 dB quantization floor cost silero 0.10 of window
+    # accuracy on plucked_music (0.989 -> 0.889) while the 8-bit wire's
+    # ~38 dB floor was absorbed silently.
+    for i in range(n_clips):
+        u = rng.rand()
+        if u < 0.35:
+            pcm16[i] = _wire_roundtrip(pcm16[i], 127.0)
+        elif u < 0.55:
+            pcm16[i] = _wire_roundtrip(pcm16[i], 31.0)
     if return_weights:
         return pcm16, labels, weights
     return pcm16, labels
+
+
+def _wire_roundtrip(pcm_i16: np.ndarray, levels: float) -> np.ndarray:
+    """µ-law compander round-trip at ``levels`` per sign (127 = the 8-bit
+    wire, 31 = the packed 6-bit wire), matching the device decode arithmetic
+    in ops/pallas/frontend (mulaw_decode / unpack_mulaw6) exactly."""
+    x = pcm_i16.astype(np.float32) / 32768.0
+    y = np.sign(x) * np.log1p(255.0 * np.abs(x)) / np.log1p(255.0)
+    c = np.round(y * levels)
+    mag = np.abs(c) * (1.0 / levels)
+    dec = np.sign(c) * (32768.0 / 255.0) * (np.exp2(mag * 8.0) - 1.0)
+    return np.clip(dec, -32768, 32767).astype(np.int16)
 
 
 def speech_signal_for_spans(
