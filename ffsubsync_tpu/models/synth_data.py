@@ -501,7 +501,7 @@ def synth_batch(
     # ~38 dB floor was absorbed silently.
     for i in range(n_clips):
         u = rng.rand()
-        if u < 0.35:
+        if u < 0.30:
             pcm16[i] = _wire_roundtrip(pcm16[i], 127.0)
         elif u < 0.55:
             pcm16[i] = _wire_roundtrip(pcm16[i], 31.0)
